@@ -1,0 +1,262 @@
+"""The RobustGCN / DropEdge GCN network family.
+
+Re-designs of the reference networks (reference:
+gnn/models/networks/robust_gcn.py:173-231,
+gnn/models/networks/drop_robust_gcn.py:31-103,
+gnn/models/networks/rp_robust_gcn.py:29-115,
+gnn/models/networks/mod_gcn.py:11-98). All share a 3-GraphConv trunk with
+dense skip-concats; they differ in DropEdge, concat order, RanPAC placement
+and classifier head. The trunk is factored once here (the reference repeats
+it in each file).
+
+Call convention: ``model.apply(variables, (V, A), train=..., rngs=...)``
+with ``V (B, N, F_in)`` and ``A (B, N, L, N)`` in dataset layout, or a
+:class:`grl_tpu.ops.sparse.RelationalGraph` with flat ``(num_nodes, F)``
+features for the sparse path.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from grl_tpu.models.base import register_model
+from grl_tpu.models.cosine_linear import CosineLinear, SplitCosineLinear
+from grl_tpu.models.layers import (
+    EdgeDropout,
+    GraphConv,
+    LinearReLU,
+    NodeSelfAtten,
+    RanPAC,
+)
+from grl_tpu.ops.sparse import RelationalGraph
+
+Inputs = Tuple[jnp.ndarray, Any]
+
+
+class GCNTrunk(nn.Module):
+    """emb1 -> 3x GraphConv with skip-concats -> emb2 (-> self-attention).
+
+    ``edge_dropout_rate > 0`` redraws an independent DropEdge mask per GCN
+    layer, like the reference's repeated ``self.edge_dropout(A)`` calls
+    (reference: drop_robust_gcn.py:76-85). ``g1_first`` selects the concat
+    order: DropEdge-family nets use ``[g1, g2]``/``[g1, g3]``
+    (drop_robust_gcn.py:84-88), RobustGCN uses ``[g2, g1]``/``[g3, g1]``
+    (robust_gcn.py:216-220).
+    """
+
+    net_size: int = 256
+    num_edges: int = 6
+    dropout_rate: float = 0.5
+    edge_dropout_rate: float = 0.3
+    g1_first: bool = True
+    use_attention: bool = True
+
+    @nn.compact
+    def __call__(
+        self, inputs: Inputs, train: bool = False, first_only: bool = False
+    ) -> jnp.ndarray:
+        V, A = inputs
+        det = not train
+        sparse = isinstance(A, RelationalGraph)
+        dropout = nn.Dropout(self.dropout_rate, deterministic=det)
+        edge_dropout = EdgeDropout(self.edge_dropout_rate, name="edge_dropout")
+
+        if first_only:
+            # emb1 -> gcn1 -> relu, no dropout of any kind
+            # (reference: mod_gcn.py:73-90 get_first_node_emb).
+            emb = LinearReLU(self.net_size, name="emb1")(V)
+            return nn.relu(
+                GraphConv(self.net_size, self.num_edges, name="gcn1")(emb, A)
+            )
+
+        embedding = dropout(LinearReLU(self.net_size, name="emb1")(V))
+
+        def gcn(name: str, feats: jnp.ndarray, width: int) -> jnp.ndarray:
+            conv = GraphConv(width, self.num_edges, name=name)
+            if sparse:
+                edge_keep, self_scale = edge_dropout(A, det)
+                out = conv(feats, A, self_scale, edge_keep)
+            else:
+                A_used, self_scale = edge_dropout(A, det)
+                out = conv(feats, A_used, self_scale)
+            return dropout(nn.relu(out))
+
+        g1 = gcn("gcn1", embedding, self.net_size)
+        g2 = gcn("gcn2", g1, self.net_size)
+        cat12 = [g1, g2] if self.g1_first else [g2, g1]
+        g3 = gcn("gcn3", jnp.concatenate(cat12, axis=-1), self.net_size)
+        cat13 = [g1, g3] if self.g1_first else [g3, g1]
+        new_v = LinearReLU(self.net_size // 2, name="emb2")(
+            jnp.concatenate(cat13, axis=-1)
+        )
+        if self.use_attention:
+            new_v = NodeSelfAtten(self.net_size // 2, name="self_atten")(new_v)
+        return new_v
+
+
+@register_model
+class GraphCNNDropEdge(nn.Module):
+    """The flagship KV-extraction model (reference: drop_robust_gcn.py:31-103).
+
+    Trunk + frozen RanPAC expansion (``half_net * rp_factor``, plain N(0,1)
+    init — drop_robust_gcn.py:25,56-58) + linear classifier.
+    """
+
+    input_dim: int
+    output_dim: int
+    num_edges: int
+    net_size: int = 256
+    use_attention: bool = True
+    rp_factor: int = 10  # RP_FACTOR (reference: drop_robust_gcn.py:10)
+    dropout_rate: float = 0.5
+    edge_dropout_rate: float = 0.3
+
+    def trunk_features(self, inputs: Inputs, train: bool = False) -> jnp.ndarray:
+        return GCNTrunk(
+            net_size=self.net_size,
+            num_edges=self.num_edges,
+            dropout_rate=self.dropout_rate,
+            edge_dropout_rate=self.edge_dropout_rate,
+            g1_first=True,
+            use_attention=self.use_attention,
+            name="trunk",
+        )(inputs, train)
+
+    @nn.compact
+    def __call__(self, inputs: Inputs, train: bool = False, **_: Any) -> jnp.ndarray:
+        new_v = self.trunk_features(inputs, train)
+        rp_size = (self.net_size // 2) * self.rp_factor
+        new_v = nn.relu(RanPAC(rp_size, name="w_rand")(new_v))
+        new_v = nn.Dropout(self.dropout_rate, deterministic=not train)(new_v)
+        return nn.Dense(self.output_dim, name="classifier")(new_v)
+
+
+@register_model
+class RobustGCN(nn.Module):
+    """No-DropEdge trunk + gcn4/gcn5 tail (reference: robust_gcn.py:173-231)."""
+
+    input_dim: int
+    output_dim: int
+    num_edges: int
+    net_size: int = 256
+    use_attention: bool = True
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, inputs: Inputs, train: bool = False, **_: Any) -> jnp.ndarray:
+        _, A = inputs
+        det = not train
+        dropout = nn.Dropout(self.dropout_rate, deterministic=det)
+        new_v = GCNTrunk(
+            net_size=self.net_size,
+            num_edges=self.num_edges,
+            dropout_rate=self.dropout_rate,
+            edge_dropout_rate=0.0,
+            g1_first=False,
+            use_attention=self.use_attention,
+            name="trunk",
+        )(inputs, train)
+        new_v = dropout(new_v)
+        half = self.net_size // 2
+        g4 = dropout(nn.relu(GraphConv(half, self.num_edges, name="gcn4")(new_v, A)))
+        g5 = nn.relu(GraphConv(half, self.num_edges, name="gcn5")(g4, A))
+        return nn.Dense(self.output_dim, name="classifier")(g5)
+
+
+@register_model
+class RPGraphCNNDropEdge(nn.Module):
+    """DropEdge trunk + two scaled RanPAC layers (reference: rp_robust_gcn.py:29-115).
+
+    The RanPAC kernels are scaled ``sqrt(rp_size) * lambda_value`` at init
+    (rp_robust_gcn.py:23); attention runs at ``rp_size`` width.
+    """
+
+    input_dim: int
+    output_dim: int
+    num_edges: int
+    net_size: int = 256
+    use_attention: bool = True
+    rp_size: int = 10000
+    lambda_value: float = 0.05
+    dropout_rate: float = 0.5
+    edge_dropout_rate: float = 0.3
+
+    @nn.compact
+    def __call__(self, inputs: Inputs, train: bool = False, **_: Any) -> jnp.ndarray:
+        new_v = GCNTrunk(
+            net_size=self.net_size,
+            num_edges=self.num_edges,
+            dropout_rate=self.dropout_rate,
+            edge_dropout_rate=self.edge_dropout_rate,
+            g1_first=True,
+            use_attention=False,
+            name="trunk",
+        )(inputs, train)
+        init_scale = (self.rp_size ** 0.5) * self.lambda_value
+        new_v = nn.leaky_relu(
+            RanPAC(self.rp_size, init_scale=init_scale, name="rp_emb")(new_v),
+            negative_slope=0.01,
+        )
+        if self.use_attention:
+            new_v = NodeSelfAtten(self.rp_size, name="self_atten")(new_v)
+        new_v = nn.leaky_relu(
+            RanPAC(self.rp_size, init_scale=init_scale, name="rp_final")(new_v),
+            negative_slope=0.01,
+        )
+        new_v = nn.Dropout(self.dropout_rate, deterministic=not train)(new_v)
+        return nn.Dense(self.output_dim, name="classifier")(new_v)
+
+
+@register_model
+class ModGCN(nn.Module):
+    """DropEdge trunk + cosine classifier for class-incremental learning
+    (reference: mod_gcn.py:11-98)."""
+
+    input_dim: int
+    output_dim: int
+    num_edges: int
+    prev_output_dim: Optional[int] = None
+    net_size: int = 256
+    use_attention: bool = True
+    dropout_rate: float = 0.5
+    edge_dropout_rate: float = 0.3
+
+    def _trunk(self) -> GCNTrunk:
+        return GCNTrunk(
+            net_size=self.net_size,
+            num_edges=self.num_edges,
+            dropout_rate=self.dropout_rate,
+            edge_dropout_rate=self.edge_dropout_rate,
+            g1_first=True,
+            use_attention=self.use_attention,
+            name="trunk",
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Inputs,
+        train: bool = False,
+        mode: Optional[str] = None,
+        return_feats: bool = False,
+        **_: Any,
+    ):
+        det = not train
+        trunk = self._trunk()
+        if mode == "first_node_emb":
+            return trunk(inputs, train, first_only=True)
+        feats = trunk(inputs, train)
+        feats = nn.Dropout(self.dropout_rate, deterministic=det)(feats)
+        if mode == "node_emb":
+            return feats
+        if self.prev_output_dim:
+            logits = SplitCosineLinear(
+                self.prev_output_dim, self.output_dim, name="classifier"
+            )(feats)
+        else:
+            logits = CosineLinear(self.output_dim, name="classifier")(feats)
+        if return_feats:
+            return logits, feats
+        return logits

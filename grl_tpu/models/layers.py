@@ -1,0 +1,228 @@
+"""Core reusable layers of the model family.
+
+Faithful re-designs (not ports) of the reference layer zoo
+(reference: gnn/models/networks/robust_gcn.py:10-99,
+ gnn/models/networks/drop_robust_gcn.py:13-28,
+ gnn/models/networks/deep_rp_gcn.py:35-68). Compute is expressed as
+MXU-shaped einsums/matmuls via :mod:`grl_tpu.ops`; DropEdge follows the
+exact dropout-on-preprocessed-adjacency semantics of the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from grl_tpu.ops.relconv import drop_edge, relational_aggregate
+from grl_tpu.ops.sparse import RelationalGraph, drop_edge_coo, relational_aggregate_coo
+
+Adjacency = Union[jnp.ndarray, RelationalGraph]
+
+
+def _xavier_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Glorot-normal matching torch.nn.init.xavier_normal_ on a 2D weight."""
+    fan_in, fan_out = shape[0], shape[1]
+    std = (2.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class LinearReLU(nn.Module):
+    """``Linear -> ReLU`` helper (reference: robust_gcn.py:10-11)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.relu(nn.Dense(self.features, name="linear")(x))
+
+
+class GraphConv(nn.Module):
+    """Multi-relational graph convolution (reference: robust_gcn.py:14-75).
+
+    Aggregates per-relation neighbor features (self relation prepended) and
+    projects the ``(L+1)*F`` concatenation with a single weight
+    ``h_weights`` of shape ``((L+1)*F, C)`` plus bias.
+
+    Accepts a dense ``(B, N, L, N)`` adjacency or a static-shape
+    :class:`RelationalGraph` (flat ``(num_nodes, F)`` features).
+    """
+
+    features: int
+    num_relations: int
+    use_bias: bool = True
+    # None inherits jax_default_matmul_precision: bf16-class on the MXU for
+    # speed; tests/parity runs pin "highest" globally.
+    precision: Optional[jax.lax.Precision] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        V: jnp.ndarray,
+        A: Adjacency,
+        self_scale: Optional[jnp.ndarray] = None,
+        edge_keep: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        F = V.shape[-1]
+        L1 = self.num_relations + 1
+        h_weights = self.param("h_weights", _xavier_normal, (F * L1, self.features))
+        if isinstance(A, RelationalGraph):
+            agg = relational_aggregate_coo(V, A, self_scale, edge_keep)
+        else:
+            agg = relational_aggregate(V, A, self_scale, precision=self.precision)
+        out = jnp.matmul(agg, h_weights, precision=self.precision)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda key, shape: 1e-4 + 5e-5 * jax.random.normal(key, shape),
+                (self.features,),
+            )
+            out = out + bias
+        return out
+
+
+class EdgeDropout(nn.Module):
+    """DropEdge on the (logically) preprocessed adjacency.
+
+    Matches ``nn.Dropout(p)`` applied to the reference's preprocessed
+    ``(B,(L+1)N,N)`` operand — iid keep, 1/(1-p) rescale, self-loops
+    included (reference: drop_robust_gcn.py:38,69,76).
+    Returns dropout artifacts to pass to :class:`GraphConv`.
+    """
+
+    rate: float = 0.3
+
+    @nn.compact
+    def __call__(self, A: Adjacency, deterministic: bool):
+        if deterministic or self.rate <= 0.0:
+            return (A, None) if not isinstance(A, RelationalGraph) else (None, None)
+        key = self.make_rng("dropout")
+        if isinstance(A, RelationalGraph):
+            edge_keep, self_scale = drop_edge_coo(key, A, self.rate)
+            return edge_keep, self_scale
+        A_dropped, self_scale = drop_edge(key, A, self.rate)
+        return A_dropped, self_scale
+
+
+class NodeSelfAtten(nn.Module):
+    """SAGAN-style global node self-attention (reference: robust_gcn.py:78-99).
+
+    ``softmax(f(V) g(V)^T) h(V)`` with a learned per-channel gamma gate.
+    Dense ``N x N`` attention — appropriate at document scale (N ~ 1e2-1e3);
+    the sparse/blockwise path is used for OGB-scale graphs.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, V: jnp.ndarray) -> jnp.ndarray:
+        f_out = LinearReLU(self.features // 8, name="f")(V)
+        g_out = LinearReLU(self.features // 8, name="g")(V)
+        h_out = LinearReLU(self.features, name="h")(V)
+        scores = jnp.einsum("bnk,bmk->bnm", f_out, g_out)
+        s = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bnm,bmf->bnf", s, h_out)
+        gamma = self.param(
+            "gamma", lambda key, shape: jax.random.normal(key, shape), (self.features,)
+        )
+        return gamma * o + V
+
+
+class RanPAC(nn.Module):
+    """Frozen random projection (RanPAC).
+
+    The kernel lives in the ``constants`` collection so it is excluded from
+    optimization — the functional analog of ``requires_grad = False``
+    (reference: drop_robust_gcn.py:13-28, rp_robust_gcn.py:13-26,
+    deep_rp_gcn.py:17-32 — three near-duplicate copies unified here).
+
+    ``init_scale`` folds the reference's ``sqrt(out_dim) * lambda`` weight
+    scaling (rp_robust_gcn.py:23) into the frozen kernel; the call-time
+    ``scale`` covers the schedulable ``lambda_value`` multiplier
+    (deep_rp_gcn.py:30-32).
+    """
+
+    features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale: float | jnp.ndarray = 1.0) -> jnp.ndarray:
+        def init_kernel() -> jnp.ndarray:
+            key = self.make_rng("constants")
+            shape = (x.shape[-1], self.features)
+            return jax.random.normal(key, shape) * self.init_scale
+
+        kernel = self.variable("constants", "kernel", init_kernel)
+        return (x @ kernel.value) * scale
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over (batch, node) dims per channel.
+
+    Equivalent to the reference's ``nn.BatchNorm1d`` applied to permuted
+    ``(B, C, N)`` activations (reference: deep_rp_gcn.py:35-68). Note: like
+    the reference, statistics include padded nodes; masked statistics are a
+    deliberate behavioral deviation we expose via ``mask`` for callers that
+    want correctness over parity.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        norm = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            name="bn",
+        )
+        if mask is None:
+            return norm(x)
+        # Masked statistics: compute on valid nodes only by weighting.
+        if train:
+            w = mask[..., None].astype(x.dtype)
+            count = jnp.maximum(w.sum(), 1.0)
+            mean = (x * w).sum(axis=(0, 1)) / count
+            var = ((x - mean) ** 2 * w).sum(axis=(0, 1)) / count
+            scale = self.param("mask_scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("mask_bias", nn.initializers.zeros, (x.shape[-1],))
+            return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return norm(x)
+
+
+class GCNBlock(nn.Module):
+    """GraphConv + BatchNorm + LeakyReLU(0.2) (reference: deep_rp_gcn.py:35-51)."""
+
+    features: int
+    num_relations: int
+
+    @nn.compact
+    def __call__(
+        self,
+        V: jnp.ndarray,
+        A: Adjacency,
+        train: bool,
+        self_scale: Optional[jnp.ndarray] = None,
+        edge_keep: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        x = GraphConv(self.features, self.num_relations, name="gcn")(
+            V, A, self_scale, edge_keep
+        )
+        x = BatchNorm(name="norm")(x, train)
+        return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class EmbeddingBlock(nn.Module):
+    """Linear + BatchNorm + LeakyReLU(0.2) (reference: deep_rp_gcn.py:54-68)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Dense(self.features, name="emb")(x)
+        x = BatchNorm(name="norm")(x, train)
+        return nn.leaky_relu(x, negative_slope=0.2)
