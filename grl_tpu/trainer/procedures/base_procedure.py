@@ -1,0 +1,224 @@
+"""Base training procedure: state, jitted steps, registries, checkpoints.
+
+The TPU-native counterpart of the reference BaseProcedure (reference:
+gnn/trainer/training_procedures/base_procedure.py:15-197). Instead of a
+mutable torch module moved ``.to(device)`` with eager per-op dispatch, the
+whole optimization step — forward, loss, backward, clip, update, metric
+counts — is one jitted function over an explicit ``TrainState`` pytree
+with donated buffers. Device selection, DDP wrapping and NCCL setup
+(reference: base_procedure.py:54-93) are replaced by an optional
+``jax.sharding.Mesh``: params replicate, the batch shards over the
+``data`` axis, and XLA inserts the gradient ``psum`` over ICI.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from grl_tpu.config import ConfigDict, instantiate
+from grl_tpu.models.base import count_parameters, init_model
+from grl_tpu.trainer import losses as losses_module
+from grl_tpu.trainer import lr_schedulers as lr_module
+from grl_tpu.trainer import optimizers as optim_module
+from grl_tpu.trainer.metrics import confusion_matrix
+from grl_tpu.utils.checkpoint import CheckpointHandler
+from grl_tpu.utils.logging import get_logger
+from grl_tpu.utils.tensorboard import MetricsWriter
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    constants: Any
+    batch_stats: Any  # None for models without BatchNorm
+    opt_state: Any
+    step: jnp.ndarray
+
+    def variables(self) -> Dict[str, Any]:
+        out = {"params": self.params}
+        if self.constants is not None:
+            out["constants"] = self.constants
+        if self.batch_stats is not None:
+            out["batch_stats"] = self.batch_stats
+        return out
+
+
+class BaseProcedure:
+    """Shared setup: output dirs, criterion/optimizer/scheduler registries,
+    checkpoint restore, jitted train/eval step factories."""
+
+    def __init__(self, model: Any, config: ConfigDict, **kwargs: Any):
+        self.logger = get_logger(self.__class__.__name__)
+        self.config = ConfigDict(config)
+        self.model = model
+        self.model_dir = os.path.join(
+            self.config.get("output_dir", "./outputs"),
+            self.config.get("model_dir_name", "models"),
+        )
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.checkpointer = CheckpointHandler()
+
+        self.seed = int(self.config.get("seed", 0))
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        self.criterion = self._init_criterion()
+        self.optimizer_factory = self._init_optimizer()
+        self.lr_scheduler = self._init_lr_scheduler()
+        self.tx = self.optimizer_factory.make(self.config.get("max_grad_norm"))
+
+        summary_dir = os.path.join(
+            self.config.get("output_dir", "./outputs"),
+            self.config.get_path("logging.summary_dir_name", "summary"),
+        )
+        self.tb_writer = MetricsWriter(
+            summary_dir,
+            enable_tensorboard=bool(self.config.get_path("logging.use_tensorboard", True)),
+        )
+        self.state: Optional[TrainState] = None
+        self._train_step_fn: Optional[Callable] = None
+        self._eval_step_fn: Optional[Callable] = None
+
+    @classmethod
+    def _from_config(cls, model: Any, config: ConfigDict, **kwargs: Any) -> "BaseProcedure":
+        return cls(model, config, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Registry init (reference: base_procedure.py:95-138)
+    # ------------------------------------------------------------------
+    def _init_criterion(self):
+        spec = self.config.get("loss", {"type": "CrossEntropyLoss", "args": {}})
+        criterion = instantiate(losses_module, spec)
+        self.logger.info(f"Loss type: {criterion.__class__.__name__}")
+        return criterion
+
+    def _init_optimizer(self):
+        spec = self.config.get(
+            "optimizer",
+            {"type": "BuiltinOptimizer", "args": {"type_optimizer": "Adam", "lr": 1e-3}},
+        )
+        optimizer = instantiate(optim_module, spec)
+        self.logger.info(f"Optimizer type: {optimizer.type_optimizer}")
+        return optimizer
+
+    def _init_lr_scheduler(self):
+        spec = self.config.get("lr_scheduler")
+        if not spec or not spec.get("type"):
+            return lr_module.ConstantLearningRate(self.optimizer_factory.learning_rate)
+        scheduler = instantiate(lr_module, spec)
+        self.logger.info(f"LR scheduler type: {scheduler.__class__.__name__}")
+        return scheduler
+
+    # ------------------------------------------------------------------
+    # State lifecycle
+    # ------------------------------------------------------------------
+    def init_state(self, example_inputs: Tuple[jnp.ndarray, ...]) -> TrainState:
+        variables = init_model(self.model, self.rng, example_inputs, train=False)
+        params = variables["params"]
+        self.logger.info(
+            f"Num parameters of {self.model.__class__.__name__}: "
+            f"{count_parameters(params):,}"
+        )
+        state = TrainState(
+            params=params,
+            constants=variables.get("constants"),
+            batch_stats=variables.get("batch_stats"),
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state = self._load_prev_checkpoint(state)
+        self.state = state
+        return state
+
+    def _load_prev_checkpoint(self, state: TrainState) -> TrainState:
+        path = self.config.get("checkpoint_path")
+        if path:
+            self.logger.info("Restoring pretrained checkpoint ...")
+            state = self.checkpointer.restore_checkpoint(path, target=state)
+            self.logger.info("Loading pretrained model success!")
+        return state
+
+    def _update_learning_rate(self, epoch: int, step: int) -> float:
+        """Per-epoch LR write into the injected hyperparam (reference:
+        base_procedure.py:172-185)."""
+        lr = self.lr_scheduler._step_lr(epoch, step)
+        self.state = self.state.replace(
+            opt_state=optim_module.set_learning_rate(self.state.opt_state, lr)
+        )
+        return lr
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+    def _apply_kwargs(self) -> Dict[str, Any]:
+        """Extra kwargs forwarded to model.apply each step (overridable)."""
+        return {}
+
+    def build_train_step(self, num_classes: int, ignore_values: Tuple[int, ...]):
+        model, criterion = self.model, self.criterion
+        tx = self.tx
+        has_bn = self.state is not None and self.state.batch_stats is not None
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, V, A, labels, rng, lam):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.constants is not None:
+                    variables["constants"] = state.constants
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    logits, mutated = model.apply(
+                        variables, (V, A), train=True, lambda_value=lam,
+                        rngs={"dropout": rng}, mutable=["batch_stats"],
+                    )
+                    new_bn = mutated["batch_stats"]
+                else:
+                    logits = model.apply(
+                        variables, (V, A), train=True, lambda_value=lam,
+                        rngs={"dropout": rng},
+                    )
+                    new_bn = None
+                return criterion(logits, labels), (logits, new_bn)
+
+            (loss, (logits, new_bn)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix(preds, labels, num_classes, ignore_values)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_bn if has_bn else state.batch_stats,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            )
+            return new_state, loss, cm
+
+        return train_step
+
+    def build_eval_step(self, num_classes: int, ignore_values: Tuple[int, ...]):
+        model, criterion = self.model, self.criterion
+
+        @jax.jit
+        def eval_step(state: TrainState, V, A, labels, lam):
+            logits = model.apply(
+                state.variables(), (V, A), train=False, lambda_value=lam
+            )
+            loss = criterion(logits, labels)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix(preds, labels, num_classes, ignore_values)
+            return loss, cm, preds
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    def _init_dataloaders(self):
+        raise NotImplementedError
+
+    def __call__(self):
+        raise NotImplementedError

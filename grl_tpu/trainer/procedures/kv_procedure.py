@@ -1,0 +1,180 @@
+"""KV node-classification training procedure — the main epoch loop.
+
+TPU-native re-design of the reference KVProcedure (reference:
+gnn/trainer/training_procedures/kv_procedure.py:19-377):
+
+* one jitted train step (forward+backward+clip+update+confusion counts)
+  instead of eager torch ops;
+* metrics: the per-step sklearn classification_report with its device->
+  host sync (kv_procedure.py:61-104) becomes an on-device confusion
+  matrix; macro P/R/F1 are derived host-side per step (same numbers) and
+  epoch-level from the summed matrix;
+* the per-step cosine RanPAC lambda schedule (kv_procedure.py:201-204,
+  254-281) is passed into ``model.apply`` as a scalar argument instead of
+  mutating a module attribute;
+* checkpoints store optimizer state + step, saved on best val loss like
+  the reference (kv_procedure.py:361-370).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import jax.random
+import numpy as np
+
+from grl_tpu.config import ConfigDict
+from grl_tpu.data.dataloader import BaseDataLoader
+from grl_tpu.trainer.lr_schedulers import cosine_schedule_lambda
+from grl_tpu.trainer.metrics import macro_scores, per_class_report
+from grl_tpu.trainer.procedures.base_procedure import BaseProcedure
+from grl_tpu.utils.metric_tracker import Dictlist
+
+
+class KVProcedure(BaseProcedure):
+    def __init__(self, model: Any, config: ConfigDict, **kwargs: Any):
+        super().__init__(model, config, **kwargs)
+        self.global_step = 0
+        self.train_loader, self.val_loader, self.class_names = self._init_dataloaders()
+        args = self.config.get_path("data_config.dataset.args", ConfigDict())
+        self.pad_value = int(args.get("node_label_padding_value", -100))
+        other = args.get("other_class_index")
+        self.other_class_index = None if other is None else int(other)
+        self.num_classes = int(getattr(self.model, "output_dim"))
+        self._ignore = tuple(
+            v for v in (self.pad_value, self.other_class_index) if v is not None
+        )
+        self._train_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def _init_dataloaders(self) -> Tuple[Any, Any, Tuple[str, ...]]:
+        """(reference: kv_procedure.py:30-59)."""
+        loader_factory = BaseDataLoader(self.config)
+        dataset_type = self.config.get_path("data_config.dataset.type", "DatapileDataset")
+        train_ds = loader_factory._load_dataset(
+            dataset_type, self.config.data_config.training, data_type="training"
+        )
+        train_loader = loader_factory._get_dataloader(
+            train_ds, self.config.data_config.training
+        )
+        val_ds = loader_factory._load_dataset(
+            dataset_type, self.config.data_config.validation, data_type="validation"
+        )
+        val_loader = loader_factory._get_dataloader(
+            val_ds, self.config.data_config.validation
+        )
+        pairs = sorted(train_ds.id_to_class.items())
+        class_names = tuple(["other"] + ["_".join(names) for _, names in pairs])
+        return train_loader, val_loader, class_names
+
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, batch: Dict[str, Any]):
+        V = jnp.asarray(batch["textline_encoding"], jnp.float32)
+        A = jnp.asarray(batch["adjacency_matrix"], jnp.float32)
+        labels = jnp.asarray(batch["node_label"], jnp.int32)
+        return V, A, labels
+
+    def _ensure_initialized(self, batch: Dict[str, Any]) -> None:
+        if self.state is None:
+            V, A, labels = self._prepare_batch(batch)
+            self.init_state((V, A))
+        if self._train_fn is None:
+            self._train_fn = self.build_train_step(self.num_classes, self._ignore)
+            self._eval_fn = self.build_eval_step(self.num_classes, self._ignore)
+
+    def _lambda_value(self, epoch: int) -> float:
+        """Per-step cosine lambda (reference: kv_procedure.py:201-204)."""
+        steps_per_epoch = max(1, len(self.train_loader))
+        lam = cosine_schedule_lambda(
+            self.global_step,
+            total_steps=int(self.config.get("num_epochs", 1)) * steps_per_epoch,
+            base_value=1e-4,
+            max_value=1.0,
+            warmup_steps=5 * steps_per_epoch,
+        )
+        self.tb_writer.add_scalar("RP/Lambda", lam, epoch)
+        return lam
+
+    def _scores_from_cm(self, cm: np.ndarray, loss: float,
+                        item_name: str = "Node classification") -> Dict[str, float]:
+        scores = macro_scores(cm)
+        out = {f"{item_name}_{k}": v for k, v in scores.items()}
+        out["loss"] = float(loss)
+        return out
+
+    # ------------------------------------------------------------------
+    def _optimize_per_epoch(self, epoch: int) -> Dict[str, float]:
+        """(reference: kv_procedure.py:180-244)."""
+        train_metrics = Dictlist()
+        epoch_start = time.time()
+        num_nodes = 0
+        for batch in self.train_loader:
+            self._ensure_initialized(batch)
+            V, A, labels = self._prepare_batch(batch)
+            lam = jnp.float32(self._lambda_value(epoch))
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, loss, cm = self._train_fn(
+                self.state, V, A, labels, step_rng, lam
+            )
+            step_scores = self._scores_from_cm(np.asarray(cm), float(loss))
+            train_metrics.update_metrics(step_scores)
+            self.tb_writer.add_scalar("Train_step_loss", step_scores["loss"], self.global_step)
+            self.global_step += 1
+            num_nodes += int(np.prod(labels.shape))
+
+        elapsed = time.time() - epoch_start
+        train_result = train_metrics.result()
+        train_result["nodes_per_sec"] = round(num_nodes / max(elapsed, 1e-9), 1)
+        self.logger.info(
+            f"Training epoch: {epoch} step: {self.global_step} metrics: {train_result}"
+        )
+        self.tb_writer.add_scalars(train_result, epoch, prefix="Train ")
+
+        # Validation: per-step macro averages + epoch-level report from the
+        # summed confusion matrix (reference: kv_procedure.py:213-244).
+        val_metrics = Dictlist()
+        epoch_cm = np.zeros((self.num_classes, self.num_classes), np.float64)
+        for batch in self.val_loader:
+            self._ensure_initialized(batch)
+            V, A, labels = self._prepare_batch(batch)
+            loss, cm, _ = self._eval_fn(self.state, V, A, labels, jnp.float32(1.0))
+            cm = np.asarray(cm)
+            val_metrics.update_metrics(self._scores_from_cm(cm, float(loss)))
+            epoch_cm += cm
+
+        val_result = val_metrics.result() if val_metrics else {"loss": float("nan")}
+        self.logger.info(f"Validation metrics: {val_result}")
+        self.tb_writer.add_scalars(val_result, epoch, prefix="Val ")
+
+        macro_val = macro_scores(epoch_cm)
+        self.tb_writer.add_scalars(macro_val, epoch, prefix="Macro Val ")
+        self.logger.info("Classification report\n" + per_class_report(epoch_cm, self.class_names))
+        macro_val["loss"] = val_result["loss"]
+        return macro_val
+
+    # ------------------------------------------------------------------
+    def __call__(self) -> float:
+        """Epoch loop; returns final val macro F1 (reference: kv_procedure.py:346-377)."""
+        best_loss = float("inf")
+        self.logger.info("Start optimizing ...")
+        metrics: Dict[str, float] = {"f1-score": 0.0}
+        num_epochs = int(self.config.get("num_epochs", 1))
+        for epoch in range(num_epochs):
+            metrics = self._optimize_per_epoch(epoch)
+            self._update_learning_rate(epoch, self.global_step)
+            if metrics["loss"] < best_loss:
+                best_loss = metrics["loss"]
+                self.checkpointer.save_checkpoint(
+                    self.state,
+                    self.model_dir,
+                    meta={
+                        "epoch": epoch,
+                        "config": self.config.to_dict(),
+                        "meta_data": metrics,
+                    },
+                )
+        self.logger.info("Finish optimizing!")
+        self.tb_writer.close()
+        return metrics["f1-score"]
