@@ -21,6 +21,12 @@ if REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402  (env vars above must be set first)
 
+# The ambient axon sitecustomize imports jax at interpreter start and pins
+# jax_platforms to "axon,cpu", so env vars alone don't stick — override the
+# live config before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # XLA's default matmul precision is bf16-class even on CPU; parity tests
 # compare against fp64-accumulated references, so pin fp32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")

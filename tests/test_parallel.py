@@ -1,0 +1,133 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: partitioned
+aggregation parity vs single-device COO, DP batch sharding, TP rules."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grl_tpu.ops.sparse import RelationalGraph, relational_aggregate_coo
+from grl_tpu.parallel import (
+    all_gather_relational_aggregate,
+    make_mesh,
+    partition_graph,
+    partitioned_relational_aggregate,
+    replicate,
+    shard_batch,
+    shard_params,
+)
+
+needs_multidevice = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def random_graph(seed=0, N=64, L=6, F=16, E=600):
+    rng = np.random.RandomState(seed)
+    senders = rng.randint(0, N, E).astype(np.int32)
+    receivers = rng.randint(0, N, E).astype(np.int32)
+    relations = rng.randint(0, L, E).astype(np.int32)
+    weights = np.ones(E, np.float32)
+    V = rng.randn(N, F).astype(np.float32)
+    return V, senders, receivers, relations, weights
+
+
+@needs_multidevice
+class TestPartitionedAggregation:
+    @pytest.mark.parametrize("impl_name", ["ring", "all_gather"])
+    def test_matches_single_device_coo(self, impl_name):
+        N, L, F, E = 64, 6, 16, 600
+        V, senders, receivers, relations, weights = random_graph(N=N, L=L, F=F, E=E)
+        single = RelationalGraph(
+            senders=jnp.asarray(senders),
+            receivers=jnp.asarray(receivers),
+            relations=jnp.asarray(relations),
+            weights=jnp.asarray(weights),
+            mask=jnp.ones(E, bool),
+            num_nodes=N,
+            num_relations=L,
+        )
+        expected = np.asarray(relational_aggregate_coo(jnp.asarray(V), single))
+
+        mesh = make_mesh({"data": 8})
+        part = partition_graph(senders, receivers, relations, weights, N, L, 8,
+                               edge_quantum=64)
+        impl = (
+            partitioned_relational_aggregate
+            if impl_name == "ring"
+            else all_gather_relational_aggregate
+        )
+        out = np.asarray(impl(jnp.asarray(V), part, mesh))
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+    def test_partition_plan_covers_all_edges(self):
+        N, L = 64, 6
+        _, senders, receivers, relations, weights = random_graph(N=N, L=L)
+        part = partition_graph(senders, receivers, relations, weights, N, L, 8)
+        assert int(np.asarray(part.mask).sum()) == len(senders)
+        owner = np.asarray(part.receivers)[np.asarray(part.mask)] // (part.num_nodes // 8)
+        rows = np.repeat(np.arange(8), np.asarray(part.mask).sum(axis=1))
+        np.testing.assert_array_equal(owner, rows)
+
+
+@needs_multidevice
+class TestDataParallelTrainStep:
+    def test_dp_train_step_matches_single_device(self):
+        """Gradient step on an 8-way sharded batch == unsharded step."""
+        from grl_tpu.models import GraphCNNDropEdge, init_model
+
+        B, N, L, Fin, C = 8, 32, 6, 40, 15
+        rng = np.random.RandomState(0)
+        V = jnp.asarray(rng.randn(B, N, Fin).astype(np.float32))
+        A = jnp.asarray((rng.rand(B, N, L, N) < 0.05).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, C, (B, N)).astype(np.int32))
+
+        model = GraphCNNDropEdge(input_dim=Fin, output_dim=C, num_edges=L, net_size=32)
+        variables = init_model(model, jax.random.PRNGKey(0), (V, A))
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "constants": variables["constants"]},
+                (V_in, A_in),
+                train=False,
+            )
+            from grl_tpu.trainer.losses import cross_entropy
+
+            return cross_entropy(logits, labels_in)
+
+        V_in, A_in, labels_in = V, A, labels
+        g_single = jax.grad(loss_fn)(variables["params"])
+
+        mesh = make_mesh({"data": 8})
+        batch = shard_batch({"V": V, "A": A, "labels": labels}, mesh)
+        params_r = replicate(variables["params"], mesh)
+        V_in, A_in, labels_in = batch["V"], batch["A"], batch["labels"]
+        g_sharded = jax.jit(jax.grad(loss_fn))(params_r)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_sharded)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_tp_param_placement(self):
+        from grl_tpu.models import GraphCNNDropEdge, init_model
+
+        B, N, L, Fin, C = 2, 16, 6, 24, 16
+        rng = jax.random.PRNGKey(0)
+        V = jax.random.normal(rng, (B, N, Fin))
+        A = jnp.zeros((B, N, L, N))
+        model = GraphCNNDropEdge(input_dim=Fin, output_dim=C, num_edges=L, net_size=32)
+        variables = init_model(model, rng, (V, A))
+        mesh = make_mesh({"data": 4, "model": 2})
+        params = shard_params(variables["params"], mesh)
+        kernel = params["classifier"]["kernel"]
+        specs = kernel.sharding.spec
+        assert specs[0] == "model"  # row-sharded classifier
+        # Forward still runs under the mesh with sharded params.
+        constants = shard_params(variables["constants"], mesh)
+        out = jax.jit(
+            lambda p, c: model.apply({"params": p, "constants": c}, (V, A), train=False)
+        )(params, constants)
+        assert out.shape == (B, N, C)
