@@ -47,5 +47,28 @@ class NodeDropAugmentor(BaseAugmentor):
         dropped = np.nonzero(~keep)[0]
         aug = adj[keep][:, :, keep]
         sample["aug_adjacency_matrix"] = aug
+        if "textline_encoding" in sample:
+            sample["aug_textline_encoding"] = sample["textline_encoding"][keep]
         sample["graph_edit_history"] = [(int(i), "delete") for i in dropped]
+        return sample
+
+
+class DGINegativeSampling(BaseAugmentor):
+    """Standard DGI corruption: row-shuffle node features, keep topology.
+
+    Provides ``negative_textline_encoding``/``negative_adjacency_matrix``
+    consumed by the dgi SSL task (reference: gnn/trainer/
+    training_procedures/ssl_pretrain_procedure.py:90-101).
+    """
+
+    def __init__(self, seed: int | None = None):
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        feats = sample.get("textline_encoding")
+        if feats is None:
+            return sample
+        perm = self.rng.permutation(feats.shape[0])
+        sample["negative_textline_encoding"] = feats[perm]
+        sample["negative_adjacency_matrix"] = sample["adjacency_matrix"]
         return sample

@@ -83,12 +83,14 @@ class BucketPadding(BaseCollate):
         label_pad_value: float = -100,
         only_selected_items: bool = False,
         extra_keys: Dict[str, float] | None = None,
+        keep_keys: Sequence[str] = (),
     ):
         self.quantum = quantum
         self.buckets = tuple(buckets)
         self.label_pad_value = label_pad_value
         self.only_selected_items = only_selected_items
         self.extra_keys = dict(extra_keys or {})
+        self.keep_keys = tuple(keep_keys)
 
     def __call__(self, batch: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         sizes = [item["textline_encoding"].shape[0] for item in batch]
@@ -111,8 +113,17 @@ class BucketPadding(BaseCollate):
                 )
             for key, value in self.extra_keys.items():
                 if key in item:
+                    # Extra node-axis arrays may have their own (smaller)
+                    # node count (e.g. aug_* after node dropping); pad each
+                    # to the bucket independently, incl. square axis 2.
                     arr = np.asarray(item[key])
-                    pads = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                    if arr.dtype == np.float16:
+                        arr = arr.astype(np.float32)
+                    pads = [(0, max(0, target - arr.shape[0]))] + [
+                        (0, 0)
+                    ] * (arr.ndim - 1)
+                    if arr.ndim == 3 and arr.shape[2] == arr.shape[0]:
+                        pads[2] = (0, max(0, target - arr.shape[2]))
                     item[key] = np.pad(arr, pads, constant_values=value)
             item["node_mask"] = np.concatenate(
                 [np.ones(n, dtype=np.float32), np.zeros(pad, dtype=np.float32)]
@@ -123,7 +134,7 @@ class BucketPadding(BaseCollate):
                 "adjacency_matrix",
                 "node_label",
                 "node_mask",
-            } | set(self.extra_keys)
+            } | set(self.extra_keys) | set(self.keep_keys)
             batch = [{k: v for k, v in item.items() if k in keep} for item in batch]
         return batch
 

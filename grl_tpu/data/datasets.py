@@ -100,7 +100,17 @@ class BaseDataset:
 
             chain.append(getattr(augmentor_module, name)._from_config(args))
         for name, args in dict(self.data_config.get("data_process", {}) or {}).items():
-            chain.append(getattr(processors_module, name)._from_config(args))
+            # Augmentors that need built features/graphs (NodeDrop, DGI
+            # negatives) may be placed in the data_process chain so they
+            # run after the builder; resolve from either registry.
+            from grl_tpu.data import augmentor as augmentor_module
+
+            module = (
+                processors_module
+                if hasattr(processors_module, name)
+                else augmentor_module
+            )
+            chain.append(getattr(module, name)._from_config(args))
         return chain
 
     # ------------------------------------------------------------------

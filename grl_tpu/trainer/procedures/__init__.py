@@ -1,4 +1,22 @@
 from grl_tpu.trainer.procedures.base_procedure import BaseProcedure, TrainState
+from grl_tpu.trainer.procedures.finetune_kv_procedure import (
+    FinetuneKVProcedure,
+    merge_matching_leaves,
+)
+from grl_tpu.trainer.procedures.graph_classification_procedure import (
+    GraphClassificationProcedure,
+)
+from grl_tpu.trainer.procedures.joint_training_procedure import JointTrainingProcedure
 from grl_tpu.trainer.procedures.kv_procedure import KVProcedure
+from grl_tpu.trainer.procedures.ssl_pretrain_procedure import SSLPretrainProcedure
 
-__all__ = ["BaseProcedure", "TrainState", "KVProcedure"]
+__all__ = [
+    "BaseProcedure",
+    "TrainState",
+    "KVProcedure",
+    "FinetuneKVProcedure",
+    "merge_matching_leaves",
+    "GraphClassificationProcedure",
+    "JointTrainingProcedure",
+    "SSLPretrainProcedure",
+]

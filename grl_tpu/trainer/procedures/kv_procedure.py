@@ -105,24 +105,36 @@ class KVProcedure(BaseProcedure):
         return out
 
     # ------------------------------------------------------------------
+    # Overridable per-batch steps (subclassed by the SSL/joint/graph-cls
+    # procedures, mirroring the reference's _run_train_step/_run_val_step
+    # extension points — reference: kv_procedure.py:143-178).
+    # ------------------------------------------------------------------
+    def _run_train_batch(self, batch: Dict[str, Any], epoch: int) -> Dict[str, float]:
+        self._ensure_initialized(batch)
+        V, A, labels = self._prepare_batch(batch)
+        lam = jnp.float32(self._lambda_value(epoch))
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.state, loss, cm = self._train_fn(self.state, V, A, labels, step_rng, lam)
+        return self._scores_from_cm(np.asarray(cm), float(loss))
+
+    def _run_val_batch(self, batch: Dict[str, Any]) -> Tuple[Dict[str, float], np.ndarray]:
+        self._ensure_initialized(batch)
+        V, A, labels = self._prepare_batch(batch)
+        loss, cm, _ = self._eval_fn(self.state, V, A, labels, jnp.float32(1.0))
+        cm = np.asarray(cm)
+        return self._scores_from_cm(cm, float(loss)), cm
+
     def _optimize_per_epoch(self, epoch: int) -> Dict[str, float]:
         """(reference: kv_procedure.py:180-244)."""
         train_metrics = Dictlist()
         epoch_start = time.time()
         num_nodes = 0
         for batch in self.train_loader:
-            self._ensure_initialized(batch)
-            V, A, labels = self._prepare_batch(batch)
-            lam = jnp.float32(self._lambda_value(epoch))
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, loss, cm = self._train_fn(
-                self.state, V, A, labels, step_rng, lam
-            )
-            step_scores = self._scores_from_cm(np.asarray(cm), float(loss))
+            step_scores = self._run_train_batch(batch, epoch)
             train_metrics.update_metrics(step_scores)
             self.tb_writer.add_scalar("Train_step_loss", step_scores["loss"], self.global_step)
             self.global_step += 1
-            num_nodes += int(np.prod(labels.shape))
+            num_nodes += int(np.prod(np.shape(batch["textline_encoding"])[:2]))
 
         elapsed = time.time() - epoch_start
         train_result = train_metrics.result()
@@ -137,11 +149,8 @@ class KVProcedure(BaseProcedure):
         val_metrics = Dictlist()
         epoch_cm = np.zeros((self.num_classes, self.num_classes), np.float64)
         for batch in self.val_loader:
-            self._ensure_initialized(batch)
-            V, A, labels = self._prepare_batch(batch)
-            loss, cm, _ = self._eval_fn(self.state, V, A, labels, jnp.float32(1.0))
-            cm = np.asarray(cm)
-            val_metrics.update_metrics(self._scores_from_cm(cm, float(loss)))
+            scores, cm = self._run_val_batch(batch)
+            val_metrics.update_metrics(scores)
             epoch_cm += cm
 
         val_result = val_metrics.result() if val_metrics else {"loss": float("nan")}
@@ -153,6 +162,47 @@ class KVProcedure(BaseProcedure):
         self.logger.info("Classification report\n" + per_class_report(epoch_cm, self.class_names))
         macro_val["loss"] = val_result["loss"]
         return macro_val
+
+    # ------------------------------------------------------------------
+    def visualize_representation_space(self, loader=None, out_path: Optional[str] = None):
+        """2-D t-SNE plot of trunk node embeddings
+        (reference: kv_procedure.py:283-344). Requires sklearn+matplotlib;
+        silently skips if unavailable."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from sklearn.manifold import TSNE
+        except Exception as err:
+            self.logger.warning(f"t-SNE viz unavailable: {err}")
+            return None
+        loader = loader or self.val_loader
+        reps, labels = [], []
+        for batch in loader:
+            self._ensure_initialized(batch)
+            V, A, y = self._prepare_batch(batch)
+            _, inter = self.model.apply(
+                self.state.variables(), (V, A), train=False,
+                capture_intermediates=lambda mdl, name: mdl.name == "trunk",
+            )
+            emb = jax.tree_util.tree_leaves(inter)[-1]
+            reps.append(np.asarray(emb).reshape(-1, emb.shape[-1]))
+            labels.append(np.asarray(y).reshape(-1))
+        reps = np.concatenate(reps)
+        labels = np.concatenate(labels)
+        keep = labels != self.pad_value
+        reduced = TSNE(n_components=2, random_state=42).fit_transform(reps[keep])
+        plt.figure(figsize=(10, 8))
+        sc = plt.scatter(reduced[:, 0], reduced[:, 1], c=labels[keep], cmap="jet", alpha=0.6)
+        plt.colorbar(sc, label="Class Labels")
+        plt.title("2D Visualization of Representation Space using t-SNE")
+        out_path = out_path or (
+            f"{self.config.get('output_dir', '.')}/representation_space.jpg"
+        )
+        plt.savefig(out_path)
+        plt.close()
+        return out_path
 
     # ------------------------------------------------------------------
     def __call__(self) -> float:
