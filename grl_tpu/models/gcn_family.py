@@ -52,6 +52,39 @@ class GCNTrunk(nn.Module):
     edge_dropout_rate: float = 0.3
     g1_first: bool = True
     use_attention: bool = True
+    # "xla" (default) or "pallas": the fused DropEdge+aggregation TPU
+    # kernel (grl_tpu/ops/pallas/relagg.py). Pallas requires the node
+    # dimension padded to a multiple of 128.
+    kernel_impl: str = "xla"
+
+    def _pallas_agg(
+        self, feats: jnp.ndarray, A: jnp.ndarray, det: bool
+    ) -> jnp.ndarray:
+        """Fused-kernel aggregation in the GraphConv concat layout."""
+        import jax
+
+        from grl_tpu.ops.pallas import (
+            pallas_dropedge_aggregate,
+            pallas_neighbor_aggregate,
+        )
+
+        B, N, F = feats.shape
+        if det or self.edge_dropout_rate <= 0.0:
+            neigh = pallas_neighbor_aggregate(feats, A)
+            self_term = feats
+        else:
+            key = self.make_rng("dropout")
+            k_seed, k_self = jax.random.split(key)
+            seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
+            neigh = pallas_dropedge_aggregate(
+                feats, A, seed, self.edge_dropout_rate
+            )
+            keep = 1.0 - self.edge_dropout_rate
+            self_mask = jax.random.bernoulli(k_self, keep, (B, N))
+            self_term = feats * (self_mask.astype(feats.dtype) / keep)[..., None]
+        return jnp.concatenate(
+            [self_term[:, :, None, :], neigh], axis=2
+        ).reshape(B, N, -1)
 
     @nn.compact
     def __call__(
@@ -78,6 +111,8 @@ class GCNTrunk(nn.Module):
             if sparse:
                 edge_keep, self_scale = edge_dropout(A, det)
                 out = conv(feats, A, self_scale, edge_keep)
+            elif self.kernel_impl == "pallas":
+                out = conv(feats, A, precomputed_agg=self._pallas_agg(feats, A, det))
             else:
                 A_used, self_scale = edge_dropout(A, det)
                 out = conv(feats, A_used, self_scale)
@@ -112,6 +147,7 @@ class GraphCNNDropEdge(nn.Module):
     rp_factor: int = 10  # RP_FACTOR (reference: drop_robust_gcn.py:10)
     dropout_rate: float = 0.5
     edge_dropout_rate: float = 0.3
+    kernel_impl: str = "xla"  # "pallas" = fused DropEdge+aggregation kernel
 
     def trunk_features(self, inputs: Inputs, train: bool = False) -> jnp.ndarray:
         return GCNTrunk(
@@ -121,6 +157,7 @@ class GraphCNNDropEdge(nn.Module):
             edge_dropout_rate=self.edge_dropout_rate,
             g1_first=True,
             use_attention=self.use_attention,
+            kernel_impl=self.kernel_impl,
             name="trunk",
         )(inputs, train)
 

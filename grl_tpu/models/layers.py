@@ -63,11 +63,14 @@ class GraphConv(nn.Module):
         A: Adjacency,
         self_scale: Optional[jnp.ndarray] = None,
         edge_keep: Optional[jnp.ndarray] = None,
+        precomputed_agg: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         F = V.shape[-1]
         L1 = self.num_relations + 1
         h_weights = self.param("h_weights", _xavier_normal, (F * L1, self.features))
-        if isinstance(A, RelationalGraph):
+        if precomputed_agg is not None:
+            agg = precomputed_agg  # e.g. from the fused Pallas kernel
+        elif isinstance(A, RelationalGraph):
             agg = relational_aggregate_coo(V, A, self_scale, edge_keep)
         else:
             agg = relational_aggregate(V, A, self_scale, precision=self.precision)
