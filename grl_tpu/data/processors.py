@@ -55,9 +55,11 @@ class HeuristicGraphBuilder(BaseDataProcess):
     """Spatial-relation adjacency -> ``sample["adjacency_matrix"]``
     ``(N, num_edges, N)`` (reference: data_process/heuristic_graph_builder.py:56-83)."""
 
-    def __init__(self, num_edges: int = 6, edge_type: str = "normal_binary"):
+    def __init__(self, num_edges: int = 6, edge_type: str = "normal_binary",
+                 use_native: bool = True):
         self.num_edges = num_edges
         self.edge_type = edge_type
+        self.use_native = use_native
 
     def __call__(self, sample: Dict[str, Any]) -> Dict[str, Any]:
         lines = _sorted_textlines(sample)
@@ -76,9 +78,16 @@ class HeuristicGraphBuilder(BaseDataProcess):
                     "type": line.get("label", "other"),
                 }
             )
-        sample["adjacency_matrix"] = build_heuristic_adjacency(
-            items, self.edge_type, self.num_edges
-        )
+        if self.use_native:
+            from grl_tpu.data.native import build_heuristic_adjacency_fast
+
+            sample["adjacency_matrix"] = build_heuristic_adjacency_fast(
+                items, self.edge_type, self.num_edges
+            )
+        else:
+            sample["adjacency_matrix"] = build_heuristic_adjacency(
+                items, self.edge_type, self.num_edges
+            )
         return sample
 
 
