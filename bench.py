@@ -136,9 +136,49 @@ def measure_torch_baseline() -> float:
     return steps_per_s
 
 
+def measure_sparse_spmm() -> None:
+    """Side metric: COO SpMM edges/s at ogbn-arxiv scale (stderr only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grl_tpu.data.large_graph import sbm_relational_graph, to_relational_graph
+    from grl_tpu.ops.sparse import relational_aggregate_coo
+
+    sbm = sbm_relational_graph(
+        num_nodes=169_343, num_classes=40, num_relations=1,
+        avg_degree=7, feature_dim=128, seed=0,
+    )
+    graph, feats = to_relational_graph(sbm)
+    V = jnp.asarray(feats)
+    E = int(np.asarray(graph.mask).sum())
+
+    @jax.jit
+    def chain(v):
+        def body(_, v):
+            out = relational_aggregate_coo(v, graph)
+            return out[:, : v.shape[1]] * 1e-3 + v
+
+        return jax.lax.fori_loop(0, 20, body, v)
+
+    jax.block_until_ready(chain(V))
+    start = time.perf_counter()
+    jax.block_until_ready(chain(V))
+    dt = (time.perf_counter() - start) / 20
+    print(
+        f"[bench] sparse SpMM (arxiv-scale, {E:,} edges, F=128): "
+        f"{E / dt / 1e9:.2f} B edges/s/chip",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     # Best of the fused-Pallas-kernel path and the XLA path.
     tpu_steps = max(measure_tpu("pallas"), measure_tpu("xla"))
+    try:
+        measure_sparse_spmm()
+    except Exception as err:
+        print(f"[bench] sparse spmm side-metric failed: {err}", file=sys.stderr)
     try:
         baseline_steps = measure_torch_baseline()
     except Exception as err:  # baseline unavailable: report absolute only
