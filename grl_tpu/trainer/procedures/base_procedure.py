@@ -136,6 +136,13 @@ class BaseProcedure:
 
     def _load_prev_checkpoint(self, state: TrainState) -> TrainState:
         path = self.config.get("checkpoint_path")
+        if not path and self.config.get("resume", False):
+            # Preemption-safe auto-resume from this run's latest step
+            # checkpoint (full state incl. optimizer + step; the reference
+            # could only reload weights and restarted optimization).
+            candidate = os.path.join(self.model_dir, "model_latest")
+            if os.path.exists(candidate):
+                path = candidate
         if path:
             self.logger.info("Restoring pretrained checkpoint ...")
             state = self.checkpointer.restore_checkpoint(path, target=state)

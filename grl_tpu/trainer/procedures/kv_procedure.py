@@ -47,6 +47,15 @@ class KVProcedure(BaseProcedure):
         )
         self._train_fn = None
         self._eval_fn = None
+        from grl_tpu.utils.profiling import Profiler
+
+        profile_cfg = self.config.get_path("logging.profile", {}) or {}
+        self.profiler = Profiler(
+            self.config.get("output_dir", "."),
+            start_step=int(profile_cfg.get("start_step", -1)),
+            num_steps=int(profile_cfg.get("num_steps", 0)),
+        )
+        self.save_interval = self.config.get("save_interval")
 
     # ------------------------------------------------------------------
     def _init_dataloaders(self) -> Tuple[Any, Any, Tuple[str, ...]]:
@@ -130,11 +139,20 @@ class KVProcedure(BaseProcedure):
         epoch_start = time.time()
         num_nodes = 0
         for batch in self.train_loader:
+            self.profiler.maybe_start(self.global_step)
             step_scores = self._run_train_batch(batch, epoch)
+            self.profiler.maybe_stop(self.global_step)
             train_metrics.update_metrics(step_scores)
             self.tb_writer.add_scalar("Train_step_loss", step_scores["loss"], self.global_step)
             self.global_step += 1
             num_nodes += int(np.prod(np.shape(batch["textline_encoding"])[:2]))
+            # Preemption-safe step checkpoint (save_interval from config;
+            # the reference declares but never uses it — base_config.yaml:67).
+            if self.save_interval and self.global_step % int(self.save_interval) == 0:
+                self.checkpointer.save_checkpoint(
+                    self.state, self.model_dir,
+                    meta={"epoch": epoch, "global_step": self.global_step},
+                )
 
         elapsed = time.time() - epoch_start
         train_result = train_metrics.result()
