@@ -244,10 +244,8 @@ class GATV2(nn.Module):
     input_feature: int
     no_A: int = 6
     output_feature: int = 128
-    num_classes: int = 36
+    num_classes: int = 36  # "class_" in the reference ctor (gatv2.py:391)
     use_v2: bool = True
-    # ctor parity aliases
-    output_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, inputs: Tuple[jnp.ndarray, jnp.ndarray], train: bool = False,
@@ -261,6 +259,10 @@ class GATV2(nn.Module):
         x, A = layer_cls(self.no_A, 256, 0.3, name="gat_out")(x, A, train)
         x = nn.leaky_relu(nn.Dense(self.output_feature, name="mlp")(x), negative_slope=0.01)
         return nn.Dense(self.num_classes, name="class_output")(x)
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_classes
 
     @staticmethod
     def l2_norm(x: jnp.ndarray) -> jnp.ndarray:
