@@ -237,6 +237,32 @@ class DiffPooling(nn.Module):
         return X_out, A_out
 
 
+class TuneSequential(nn.Module):
+    """Tuple-threading sequential (reference: gatv2.py:301-308): each stage
+    may return ``(V, A)`` which is splatted into the next stage. The GATV2
+    network composes its stages functionally and does not need this, but
+    the combinator is exported for config-built custom stacks."""
+
+    layers: Tuple[Any, ...]
+
+    def __call__(self, *inputs: Any, train: bool = False) -> Any:
+        out: Any = inputs
+        for layer in self.layers:
+            out = layer(*out, train=train) if isinstance(out, tuple) else layer(
+                out, train=train
+            )
+        return out
+
+
+class MakeParameterScale(nn.Module):
+    """Single learnable scalar in [0, 1) at init
+    (reference: gatv2.py:376-382)."""
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("parameter", nn.initializers.uniform(scale=1.0), (1,))
+
+
 @register_model
 class GATV2(nn.Module):
     """The exported GAT network (reference: gatv2.py:385-428)."""

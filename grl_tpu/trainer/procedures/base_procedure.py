@@ -52,10 +52,15 @@ class BaseProcedure:
     """Shared setup: output dirs, criterion/optimizer/scheduler registries,
     checkpoint restore, jitted train/eval step factories."""
 
-    def __init__(self, model: Any, config: ConfigDict, **kwargs: Any):
+    def __init__(self, model: Any, config: ConfigDict,
+                 ems_exp: Optional[Any] = None, **kwargs: Any):
         self.logger = get_logger(self.__class__.__name__)
         self.config = ConfigDict(config)
         self.model = model
+        # Experiment-tracking run with a Neptune-shaped append API
+        # (reference: base_procedure.py:15-21 receives ems_exp; series
+        # appended throughout kv_procedure.py:196-251).
+        self.ems_exp = ems_exp
         self.model_dir = os.path.join(
             self.config.get("output_dir", "./outputs"),
             self.config.get("model_dir_name", "models"),

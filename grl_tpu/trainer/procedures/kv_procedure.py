@@ -104,6 +104,8 @@ class KVProcedure(BaseProcedure):
             warmup_steps=5 * steps_per_epoch,
         )
         self.tb_writer.add_scalar("RP/Lambda", lam, epoch)
+        if self.ems_exp:
+            self.ems_exp["RP/Lambda"].append(lam)
         return lam
 
     def _scores_from_cm(self, cm: np.ndarray, loss: float,
@@ -144,6 +146,8 @@ class KVProcedure(BaseProcedure):
             self.profiler.maybe_stop(self.global_step)
             train_metrics.update_metrics(step_scores)
             self.tb_writer.add_scalar("Train_step_loss", step_scores["loss"], self.global_step)
+            if self.ems_exp:
+                self.ems_exp["Train/step_loss"].append(step_scores["loss"])
             self.global_step += 1
             num_nodes += int(np.prod(np.shape(batch["textline_encoding"])[:2]))
             # Preemption-safe step checkpoint (save_interval from config;
@@ -161,6 +165,9 @@ class KVProcedure(BaseProcedure):
             f"Training epoch: {epoch} step: {self.global_step} metrics: {train_result}"
         )
         self.tb_writer.add_scalars(train_result, epoch, prefix="Train ")
+        if self.ems_exp:
+            for metric_name, score in train_result.items():
+                self.ems_exp[f"Train/{metric_name}"].append(score)
 
         # Validation: per-step macro averages + epoch-level report from the
         # summed confusion matrix (reference: kv_procedure.py:213-244).
@@ -174,9 +181,15 @@ class KVProcedure(BaseProcedure):
         val_result = val_metrics.result() if val_metrics else {"loss": float("nan")}
         self.logger.info(f"Validation metrics: {val_result}")
         self.tb_writer.add_scalars(val_result, epoch, prefix="Val ")
+        if self.ems_exp:
+            for metric_name, score in val_result.items():
+                self.ems_exp[f"Validation/{metric_name}"].append(score)
 
         macro_val = macro_scores(epoch_cm)
         self.tb_writer.add_scalars(macro_val, epoch, prefix="Macro Val ")
+        if self.ems_exp:
+            for metric_name, score in macro_val.items():
+                self.ems_exp[f"Macro Validation/{metric_name}"].append(score)
         self.logger.info("Classification report\n" + per_class_report(epoch_cm, self.class_names))
         macro_val["loss"] = val_result["loss"]
         return macro_val

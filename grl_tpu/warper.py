@@ -58,10 +58,19 @@ class GNNLearningWarper:
         self.inferencer = None
         if self.config.get("is_train", True):
             from grl_tpu.trainer import procedures
+            from grl_tpu.utils.experiment import ExperimentRun
 
+            # Experiment-tracking handle threaded into the procedure
+            # (reference: cl_warper.py:52-53 passes the global NEPTUNE_RUN).
+            ems_exp = None
+            if self.config.get_path("logging.experiment_tracking", True):
+                ems_exp = ExperimentRun(output_dir)
             proc = self.config.get("procedure", {"type": "KVProcedure", "args": {}})
             cls = getattr(procedures, proc["type"])
-            self.trainer = cls(self.model, self.config, **dict(proc.get("args", {}) or {}))
+            self.trainer = cls(
+                self.model, self.config, ems_exp=ems_exp,
+                **dict(proc.get("args", {}) or {}),
+            )
         else:
             from grl_tpu.inferencer import inference_procedures
 

@@ -210,6 +210,19 @@ class TestKVProcedureEndToEnd:
         # chance after 30 epochs.
         assert f1 > 0.25, f"F1 too low: {f1}"
 
+        # Experiment-tracking series written (reference channel parity:
+        # kv_procedure.py:196-251 appends Train/step_loss, Train/*,
+        # Validation/*, Macro Validation/*, RP/Lambda).
+        series_path = os.path.join(
+            warper.config["output_dir"], "experiment_series.jsonl"
+        )
+        assert os.path.exists(series_path)
+        paths = {json.loads(line)["path"] for line in open(series_path)}
+        assert "Train/step_loss" in paths
+        assert "RP/Lambda" in paths
+        assert any(p.startswith("Validation/") for p in paths)
+        assert any(p.startswith("Macro Validation/") for p in paths)
+
     def test_checkpoint_restore_roundtrip(self, synthetic_config):
         from grl_tpu.models import GraphCNNDropEdge
         from grl_tpu.trainer.procedures import KVProcedure
