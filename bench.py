@@ -16,6 +16,7 @@ framework). The baseline measurement is cached in .bench_baseline.json.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -35,7 +36,7 @@ def edges_per_step() -> float:
     return 3.0 * B * (L + 1) * N * N
 
 
-def measure_tpu(kernel_impl: str = "pallas") -> float:
+def measure_tpu(kernel_impl: str = "pallas", compute_dtype: str | None = None) -> float:
     """Training steps/s of the jitted jax model on the default device."""
     import jax
     import jax.numpy as jnp
@@ -47,7 +48,7 @@ def measure_tpu(kernel_impl: str = "pallas") -> float:
     key = jax.random.PRNGKey(0)
     model = GraphCNNDropEdge(
         input_dim=F_IN, output_dim=C, num_edges=L, net_size=NET,
-        kernel_impl=kernel_impl,
+        kernel_impl=kernel_impl, compute_dtype=compute_dtype,
     )
     V = jax.random.normal(key, (B, N, F_IN), jnp.float32)
     A = (jax.random.uniform(key, (B, N, L, N)) < DENSITY).astype(jnp.float32)
@@ -57,7 +58,7 @@ def measure_tpu(kernel_impl: str = "pallas") -> float:
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, rng):
         def loss_fn(p):
             logits = model.apply(
@@ -85,7 +86,7 @@ def measure_tpu(kernel_impl: str = "pallas") -> float:
     elapsed = time.perf_counter() - start
     print(
         f"[bench] device={jax.devices()[0]} kernel={kernel_impl} "
-        f"{ITERS / elapsed:.2f} steps/s",
+        f"dtype={compute_dtype or 'float32'} {ITERS / elapsed:.2f} steps/s",
         file=sys.stderr,
     )
     return ITERS / elapsed
@@ -173,8 +174,13 @@ def measure_sparse_spmm() -> None:
 
 
 def main() -> None:
-    # Best of the fused-Pallas-kernel path and the XLA path.
-    tpu_steps = max(measure_tpu("pallas"), measure_tpu("xla"))
+    # Best of {fused Pallas, XLA} x {bf16 mixed precision, f32}.
+    tpu_steps = max(
+        measure_tpu("pallas", "bfloat16"),
+        measure_tpu("xla", "bfloat16"),
+        measure_tpu("pallas"),
+        measure_tpu("xla"),
+    )
     try:
         measure_sparse_spmm()
     except Exception as err:

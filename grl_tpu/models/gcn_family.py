@@ -29,6 +29,7 @@ from grl_tpu.models.layers import (
     LinearReLU,
     NodeSelfAtten,
     RanPAC,
+    maybe_cast,
 )
 from grl_tpu.ops.sparse import RelationalGraph
 
@@ -56,6 +57,14 @@ class GCNTrunk(nn.Module):
     # kernel (grl_tpu/ops/pallas/relagg.py). Pallas requires the node
     # dimension padded to a multiple of 128.
     kernel_impl: str = "xla"
+    # Mixed precision: e.g. "bfloat16" casts activations + adjacency to
+    # bf16 (params stay f32 master copies) — single-pass MXU matmuls and
+    # half the HBM traffic on the dominant (B,N,L,N) operand.
+    compute_dtype: Optional[str] = None
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     def _pallas_agg(
         self, feats: jnp.ndarray, A: jnp.ndarray, det: bool
@@ -93,21 +102,25 @@ class GCNTrunk(nn.Module):
         V, A = inputs
         det = not train
         sparse = isinstance(A, RelationalGraph)
+        dtype = self._dtype
+        V = maybe_cast(V, dtype)
+        if not sparse:
+            A = maybe_cast(A, dtype)
         dropout = nn.Dropout(self.dropout_rate, deterministic=det)
         edge_dropout = EdgeDropout(self.edge_dropout_rate, name="edge_dropout")
 
         if first_only:
             # emb1 -> gcn1 -> relu, no dropout of any kind
             # (reference: mod_gcn.py:73-90 get_first_node_emb).
-            emb = LinearReLU(self.net_size, name="emb1")(V)
+            emb = LinearReLU(self.net_size, dtype=dtype, name="emb1")(V)
             return nn.relu(
-                GraphConv(self.net_size, self.num_edges, name="gcn1")(emb, A)
+                GraphConv(self.net_size, self.num_edges, dtype=dtype, name="gcn1")(emb, A)
             )
 
-        embedding = dropout(LinearReLU(self.net_size, name="emb1")(V))
+        embedding = dropout(LinearReLU(self.net_size, dtype=dtype, name="emb1")(V))
 
         def gcn(name: str, feats: jnp.ndarray, width: int) -> jnp.ndarray:
-            conv = GraphConv(width, self.num_edges, name=name)
+            conv = GraphConv(width, self.num_edges, dtype=dtype, name=name)
             if sparse:
                 edge_keep, self_scale = edge_dropout(A, det)
                 out = conv(feats, A, self_scale, edge_keep)
@@ -123,11 +136,11 @@ class GCNTrunk(nn.Module):
         cat12 = [g1, g2] if self.g1_first else [g2, g1]
         g3 = gcn("gcn3", jnp.concatenate(cat12, axis=-1), self.net_size)
         cat13 = [g1, g3] if self.g1_first else [g3, g1]
-        new_v = LinearReLU(self.net_size // 2, name="emb2")(
+        new_v = LinearReLU(self.net_size // 2, dtype=dtype, name="emb2")(
             jnp.concatenate(cat13, axis=-1)
         )
         if self.use_attention:
-            new_v = NodeSelfAtten(self.net_size // 2, name="self_atten")(new_v)
+            new_v = NodeSelfAtten(self.net_size // 2, dtype=dtype, name="self_atten")(new_v)
         return new_v
 
 
@@ -148,6 +161,7 @@ class GraphCNNDropEdge(nn.Module):
     dropout_rate: float = 0.5
     edge_dropout_rate: float = 0.3
     kernel_impl: str = "xla"  # "pallas" = fused DropEdge+aggregation kernel
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
 
     def trunk_features(self, inputs: Inputs, train: bool = False) -> jnp.ndarray:
         return GCNTrunk(
@@ -158,16 +172,20 @@ class GraphCNNDropEdge(nn.Module):
             g1_first=True,
             use_attention=self.use_attention,
             kernel_impl=self.kernel_impl,
+            compute_dtype=self.compute_dtype,
             name="trunk",
         )(inputs, train)
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False, **_: Any) -> jnp.ndarray:
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         new_v = self.trunk_features(inputs, train)
         rp_size = (self.net_size // 2) * self.rp_factor
-        new_v = nn.relu(RanPAC(rp_size, name="w_rand")(new_v))
+        new_v = nn.relu(RanPAC(rp_size, dtype=dtype, name="w_rand")(new_v))
         new_v = nn.Dropout(self.dropout_rate, deterministic=not train)(new_v)
-        return nn.Dense(self.output_dim, name="classifier")(new_v)
+        logits = nn.Dense(self.output_dim, dtype=dtype, name="classifier")(new_v)
+        # Loss/softmax always in float32.
+        return logits.astype(jnp.float32)
 
 
 @register_model

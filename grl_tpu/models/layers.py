@@ -9,7 +9,7 @@ exact dropout-on-preprocessed-adjacency semantics of the reference.
 """
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Any, Optional, Union
 
 import flax.linen as nn
 import jax
@@ -19,6 +19,21 @@ from grl_tpu.ops.relconv import drop_edge, relational_aggregate
 from grl_tpu.ops.sparse import RelationalGraph, drop_edge_coo, relational_aggregate_coo
 
 Adjacency = Union[jnp.ndarray, RelationalGraph]
+
+Dtype = Any  # jnp dtype or None (inherit input dtype)
+
+
+def maybe_cast(x: Optional[jnp.ndarray], dtype: Optional[Dtype]) -> Optional[jnp.ndarray]:
+    """Cast ``x`` to the compute dtype when mixed precision is enabled.
+
+    Parameters stay float32 (flax's ``param_dtype`` default — the master
+    copy the optimizer updates); activations and the adjacency are cast to
+    ``dtype`` (typically bfloat16) so the hot matmuls run single-pass on
+    the MXU and HBM traffic on the ``(B,N,L,N)`` operand halves.
+    """
+    if x is None or dtype is None:
+        return x
+    return x.astype(dtype)
 
 
 def _xavier_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
@@ -32,10 +47,11 @@ class LinearReLU(nn.Module):
     """``Linear -> ReLU`` helper (reference: robust_gcn.py:10-11)."""
 
     features: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.relu(nn.Dense(self.features, name="linear")(x))
+        return nn.relu(nn.Dense(self.features, dtype=self.dtype, name="linear")(x))
 
 
 class GraphConv(nn.Module):
@@ -55,6 +71,8 @@ class GraphConv(nn.Module):
     # None inherits jax_default_matmul_precision: bf16-class on the MXU for
     # speed; tests/parity runs pin "highest" globally.
     precision: Optional[jax.lax.Precision] = None
+    # Mixed-precision compute dtype (params stay float32); see maybe_cast.
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -68,12 +86,14 @@ class GraphConv(nn.Module):
         F = V.shape[-1]
         L1 = self.num_relations + 1
         h_weights = self.param("h_weights", _xavier_normal, (F * L1, self.features))
+        h_weights = maybe_cast(h_weights, self.dtype)
         if precomputed_agg is not None:
             agg = precomputed_agg  # e.g. from the fused Pallas kernel
         elif isinstance(A, RelationalGraph):
             agg = relational_aggregate_coo(V, A, self_scale, edge_keep)
         else:
             agg = relational_aggregate(V, A, self_scale, precision=self.precision)
+        agg = maybe_cast(agg, self.dtype)
         out = jnp.matmul(agg, h_weights, precision=self.precision)
         if self.use_bias:
             bias = self.param(
@@ -81,7 +101,7 @@ class GraphConv(nn.Module):
                 lambda key, shape: 1e-4 + 5e-5 * jax.random.normal(key, shape),
                 (self.features,),
             )
-            out = out + bias
+            out = out + maybe_cast(bias, self.dtype)
         return out
 
 
@@ -117,19 +137,21 @@ class NodeSelfAtten(nn.Module):
     """
 
     features: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, V: jnp.ndarray) -> jnp.ndarray:
-        f_out = LinearReLU(self.features // 8, name="f")(V)
-        g_out = LinearReLU(self.features // 8, name="g")(V)
-        h_out = LinearReLU(self.features, name="h")(V)
+        f_out = LinearReLU(self.features // 8, dtype=self.dtype, name="f")(V)
+        g_out = LinearReLU(self.features // 8, dtype=self.dtype, name="g")(V)
+        h_out = LinearReLU(self.features, dtype=self.dtype, name="h")(V)
         scores = jnp.einsum("bnk,bmk->bnm", f_out, g_out)
-        s = jax.nn.softmax(scores, axis=-1)
+        # Softmax in float32 for numerical stability under bf16 compute.
+        s = maybe_cast(jax.nn.softmax(scores.astype(jnp.float32), axis=-1), self.dtype)
         o = jnp.einsum("bnm,bmf->bnf", s, h_out)
         gamma = self.param(
             "gamma", lambda key, shape: jax.random.normal(key, shape), (self.features,)
         )
-        return gamma * o + V
+        return maybe_cast(gamma, self.dtype) * o + V
 
 
 class RanPAC(nn.Module):
@@ -148,6 +170,7 @@ class RanPAC(nn.Module):
 
     features: int
     init_scale: float = 1.0
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale: float | jnp.ndarray = 1.0) -> jnp.ndarray:
@@ -157,7 +180,7 @@ class RanPAC(nn.Module):
             return jax.random.normal(key, shape) * self.init_scale
 
         kernel = self.variable("constants", "kernel", init_kernel)
-        return (x @ kernel.value) * scale
+        return (x @ maybe_cast(kernel.value, self.dtype)) * scale
 
 
 class BatchNorm(nn.Module):

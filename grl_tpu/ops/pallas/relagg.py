@@ -63,6 +63,7 @@ def _agg_kernel(a_ref, v_ref, out_ref):
 
 
 def _agg_forward(V, A_t, block_n, block_k):
+    # bf16 operands run single-pass on the MXU; accumulation stays f32.
     B, L, N, _ = A_t.shape
     F = V.shape[-1]
     grid = (B, L, _cdiv(N, block_n), _cdiv(N, block_k))
@@ -89,7 +90,7 @@ def pallas_neighbor_aggregate(V, A, block_n: int = 128, block_k: int = 128):
     """``(B,N,L,F)`` neighbor aggregate of ``V (B,N,F)`` by ``A (B,N,L,N)``."""
     A_t = jnp.transpose(A, (0, 2, 1, 3))
     out = _agg_forward(V, A_t, block_n, block_k)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(V.dtype)
 
 
 def _agg_fwd(V, A, block_n, block_k):
@@ -131,7 +132,9 @@ def _dropedge_kernel(seed_ref, rate_ref, a_ref, v_ref, out_ref):
         )
     )
     a_tile = a_ref[0, 0, :, :]
-    mask = _uniform_mask(a_tile.shape, rate_ref)
+    # Mask (incl. 1/keep rescale) computed in f32, applied in the operand
+    # dtype so a bf16 A tile keeps the dot single-pass on the MXU.
+    mask = _uniform_mask(a_tile.shape, rate_ref).astype(a_tile.dtype)
     out_ref[0, 0, :, :] += jnp.dot(
         a_tile * mask, v_ref[0, :, :], preferred_element_type=jnp.float32
     )
@@ -153,7 +156,7 @@ def _dropedge_bwd_kernel(seed_ref, rate_ref, a_ref, g_ref, out_ref):
         )
     )
     a_tile = a_ref[0, 0, :, :]  # (block_n rows = i, block_k cols = m)
-    mask = _uniform_mask(a_tile.shape, rate_ref)
+    mask = _uniform_mask(a_tile.shape, rate_ref).astype(a_tile.dtype)
     out_ref[0, :, :] += jnp.dot(
         (a_tile * mask).T, g_ref[0, 0, :, :], preferred_element_type=jnp.float32
     )
@@ -204,7 +207,7 @@ def pallas_dropedge_aggregate(
     """
     A_t = jnp.transpose(A, (0, 2, 1, 3))
     out = _dropedge_forward(V, A_t, seed, rate, block_n, block_k)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(V.dtype)
 
 
 def _dropedge_fwd(V, A, seed, rate, block_n, block_k):
@@ -244,7 +247,7 @@ def _dropedge_bwd(rate, block_n, block_k, residuals, g):
     # Cotangents for A and seed are data-path only: DCE'd under jit.
     dA = jnp.zeros_like(A)
     d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
-    return dV, dA, d_seed
+    return dV.astype(V.dtype), dA, d_seed
 
 
 pallas_dropedge_aggregate.defvjp(_dropedge_fwd, _dropedge_bwd)
