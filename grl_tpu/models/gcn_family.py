@@ -68,8 +68,8 @@ class GCNTrunk(nn.Module):
 
     def _pallas_agg(
         self, feats: jnp.ndarray, A: jnp.ndarray, det: bool
-    ) -> jnp.ndarray:
-        """Fused-kernel aggregation in the GraphConv concat layout."""
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused-kernel aggregation: ``(self_term, neigh (B,N,L,F))``."""
         import jax
 
         from grl_tpu.ops.pallas import (
@@ -91,9 +91,7 @@ class GCNTrunk(nn.Module):
             keep = 1.0 - self.edge_dropout_rate
             self_mask = jax.random.bernoulli(k_self, keep, (B, N))
             self_term = feats * (self_mask.astype(feats.dtype) / keep)[..., None]
-        return jnp.concatenate(
-            [self_term[:, :, None, :], neigh], axis=2
-        ).reshape(B, N, -1)
+        return self_term, neigh
 
     @nn.compact
     def __call__(
@@ -125,7 +123,7 @@ class GCNTrunk(nn.Module):
                 edge_keep, self_scale = edge_dropout(A, det)
                 out = conv(feats, A, self_scale, edge_keep)
             elif self.kernel_impl == "pallas":
-                out = conv(feats, A, precomputed_agg=self._pallas_agg(feats, A, det))
+                out = conv(feats, A, precomputed_neigh=self._pallas_agg(feats, A, det))
             else:
                 A_used, self_scale = edge_dropout(A, det)
                 out = conv(feats, A_used, self_scale)

@@ -15,8 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from grl_tpu.ops.relconv import drop_edge, relational_aggregate
-from grl_tpu.ops.sparse import RelationalGraph, drop_edge_coo, relational_aggregate_coo
+from grl_tpu.ops.relconv import drop_edge, relational_neighbor_aggregate
+from grl_tpu.ops.sparse import RelationalGraph, drop_edge_coo, relational_neighbor_coo
 
 Adjacency = Union[jnp.ndarray, RelationalGraph]
 
@@ -81,20 +81,33 @@ class GraphConv(nn.Module):
         A: Adjacency,
         self_scale: Optional[jnp.ndarray] = None,
         edge_keep: Optional[jnp.ndarray] = None,
-        precomputed_agg: Optional[jnp.ndarray] = None,
+        precomputed_neigh: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         F = V.shape[-1]
         L1 = self.num_relations + 1
         h_weights = self.param("h_weights", _xavier_normal, (F * L1, self.features))
         h_weights = maybe_cast(h_weights, self.dtype)
-        if precomputed_agg is not None:
-            agg = precomputed_agg  # e.g. from the fused Pallas kernel
+        # Split-matmul formulation: the single reference weight
+        # ``((L+1)F, C)`` is sliced (free under jit) into the self block
+        # and the neighbor block, so the ``(B, N, (L+1)F)`` concatenation
+        # copy never materializes in HBM. Same math as concat @ h_weights
+        # (reference: robust_gcn.py:45-50), different add order only.
+        w_self, w_neigh = h_weights[:F], h_weights[F:]
+        if precomputed_neigh is not None:
+            # e.g. from the fused Pallas kernel: (self_term, (B,N,L,F)).
+            self_term, neigh = precomputed_neigh
+            neigh = neigh.reshape(*neigh.shape[:-2], -1)
         elif isinstance(A, RelationalGraph):
-            agg = relational_aggregate_coo(V, A, self_scale, edge_keep)
+            neigh = relational_neighbor_coo(V, A, edge_keep)
+            self_term = V if self_scale is None else V * self_scale[..., None]
         else:
-            agg = relational_aggregate(V, A, self_scale, precision=self.precision)
-        agg = maybe_cast(agg, self.dtype)
-        out = jnp.matmul(agg, h_weights, precision=self.precision)
+            neigh = relational_neighbor_aggregate(V, A, precision=self.precision)
+            self_term = V if self_scale is None else V * self_scale[..., None]
+        self_term = maybe_cast(self_term, self.dtype)
+        neigh = maybe_cast(neigh, self.dtype)
+        out = jnp.matmul(self_term, w_self, precision=self.precision) + jnp.matmul(
+            neigh, w_neigh, precision=self.precision
+        )
         if self.use_bias:
             bias = self.param(
                 "bias",

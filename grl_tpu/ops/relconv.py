@@ -48,16 +48,36 @@ def relational_aggregate(
     """
     B, N, L, _ = A.shape
     F = V.shape[-1]
-    # (B, N, L, N) x (B, N, F) -> (B, N, L, F): one batched MXU matmul.
-    neigh = jax.lax.dot_general(
+    neigh = relational_neighbor_aggregate(V, A, precision=precision)
+    self_term = V if self_scale is None else V * self_scale[..., None]
+    out = jnp.concatenate(
+        [self_term[:, :, None, :], neigh.reshape(B, N, L, F)], axis=2
+    )
+    return out.reshape(B, N, (L + 1) * F)
+
+
+def relational_neighbor_aggregate(
+    V: jnp.ndarray,
+    A: jnp.ndarray,
+    *,
+    precision: Optional[jax.lax.Precision] = None,
+) -> jnp.ndarray:
+    """Neighbor-only aggregation ``(B, N, L*F)`` — no self term, no concat.
+
+    The production GraphConv uses this split form (self term handled as a
+    separate small matmul) so the ``(B, N, (L+1)*F)`` concatenation copy
+    never hits HBM; :func:`relational_aggregate` keeps the reference's
+    concatenated layout for parity tests.
+    """
+    B, N, L, _ = A.shape
+    F = V.shape[-1]
+    # (B, N, L, N) x (B, N, F) -> (B, N*L, F): one batched MXU matmul.
+    return jax.lax.dot_general(
         A.reshape(B, N * L, N),
         V,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=precision,
-    ).reshape(B, N, L, F)
-    self_term = V if self_scale is None else V * self_scale[..., None]
-    out = jnp.concatenate([self_term[:, :, None, :], neigh], axis=2)
-    return out.reshape(B, N, (L + 1) * F)
+    ).reshape(B, N, L * F)
 
 
 def preprocess_adjacency(A: jnp.ndarray) -> jnp.ndarray:

@@ -90,18 +90,35 @@ def relational_aggregate_coo(
         ``(num_nodes, (L+1)*F)`` in the same ``[self | rel_0 | ...]`` layout
         as the dense path, so the same projection weights apply.
     """
+    agg = relational_neighbor_coo(V, graph, edge_keep)
+    self_term = V if self_scale is None else V * self_scale[:, None]
+    return jnp.concatenate([self_term, agg], axis=-1)
+
+
+def relational_neighbor_coo(
+    V: jnp.ndarray,
+    graph: RelationalGraph,
+    edge_keep: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Neighbor-only COO aggregation ``(num_nodes, L*F)`` — no self/concat.
+
+    Edge weights and the DropEdge keep-scale are cast to ``V.dtype`` so a
+    bf16 compute dtype halves the gather traffic (the dominant HBM cost);
+    the segment-sum accumulates in float32 regardless and the result is
+    cast back, keeping high-degree sums accurate.
+    """
     F = V.shape[-1]
     L = graph.num_relations
-    w = graph.weights * graph.mask.astype(V.dtype)
+    w = (graph.weights * graph.mask.astype(graph.weights.dtype)).astype(V.dtype)
     if edge_keep is not None:
-        w = w * edge_keep
+        w = w * edge_keep.astype(V.dtype)
     messages = V[graph.senders] * w[:, None]  # (E, F)
     # Scatter into a (num_nodes * L) segment space: relation-major per node.
     seg = graph.receivers * L + graph.relations
-    agg = jax.ops.segment_sum(messages, seg, num_segments=graph.num_nodes * L)
-    agg = agg.reshape(graph.num_nodes, L * F)
-    self_term = V if self_scale is None else V * self_scale[:, None]
-    return jnp.concatenate([self_term, agg], axis=-1)
+    agg = jax.ops.segment_sum(
+        messages.astype(jnp.float32), seg, num_segments=graph.num_nodes * L
+    )
+    return agg.reshape(graph.num_nodes, L * F).astype(V.dtype)
 
 
 def drop_edge_coo(

@@ -91,6 +91,7 @@ class TestBF16Flagship:
         from grl_tpu.ops.pallas.relagg import pallas_neighbor_aggregate
         from grl_tpu.ops.relconv import relational_aggregate
 
+        prev_interpret = relagg.INTERPRET
         if jax.default_backend() == "cpu":
             relagg.INTERPRET = True
         try:
@@ -108,4 +109,4 @@ class TestBF16Flagship:
                 rtol=0.05, atol=0.2,
             )
         finally:
-            relagg.INTERPRET = False
+            relagg.INTERPRET = prev_interpret
