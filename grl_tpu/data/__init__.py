@@ -1,5 +1,10 @@
 from grl_tpu.data.augmentor import BaseAugmentor, NodeDropAugmentor
-from grl_tpu.data.collate import BucketPadding, NumpyPadding, stack_batch
+from grl_tpu.data.collate import (
+    BucketPadding,
+    NumpyPadding,
+    SparseBucketPadding,
+    stack_batch,
+)
 from grl_tpu.data.dataloader import BaseDataLoader, DataLoader
 from grl_tpu.data.datasets import (
     BaseDataset,

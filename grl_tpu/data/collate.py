@@ -139,6 +139,40 @@ class BucketPadding(BaseCollate):
         return batch
 
 
+class SparseBucketPadding(BucketPadding):
+    """BucketPadding + COO conversion — the config entry to the sparse path.
+
+    After node bucketing, each sample's dense ``(Nb, L, Nb)`` adjacency is
+    converted to padded COO edge lists (``coo_senders/receivers/relations/
+    weights/mask``) sharing one per-batch edge bucket (multiple of
+    ``edge_quantum``), and the dense tensor is dropped — the batch that
+    reaches the trainer is O(N·F + E) instead of O(N²·L). KVProcedure
+    detects the ``coo_*`` keys and feeds the model a flat batched
+    :class:`grl_tpu.ops.sparse.RelationalGraph`.
+    """
+
+    def __init__(self, edge_quantum: int = 256, **kwargs: Any):
+        super().__init__(**kwargs)
+        self.edge_quantum = int(edge_quantum)
+
+    def __call__(self, batch: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        from grl_tpu.ops.sparse import dense_to_relational_coo
+
+        batch = super().__call__(batch)
+        adjs = [np.asarray(item["adjacency_matrix"], np.float32) for item in batch]
+        counts = [int(np.count_nonzero(a)) for a in adjs]
+        bucket = next_bucket(max(max(counts), 1), self.edge_quantum)
+        for item, adj in zip(batch, adjs):
+            s, r, rel, w, m = dense_to_relational_coo(adj, edge_bucket=bucket)
+            item["coo_senders"] = s
+            item["coo_receivers"] = r
+            item["coo_relations"] = rel
+            item["coo_weights"] = w
+            item["coo_mask"] = m
+            del item["adjacency_matrix"]
+        return batch
+
+
 def stack_batch(batch: List[Dict[str, Any]]) -> Dict[str, Any]:
     """default_collate equivalent: stack same-shaped numpy arrays along a
     new batch axis; pass through everything else as lists."""

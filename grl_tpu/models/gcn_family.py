@@ -29,6 +29,7 @@ from grl_tpu.models.layers import (
     LinearReLU,
     NodeSelfAtten,
     RanPAC,
+    SparseNodeSelfAtten,
     maybe_cast,
 )
 from grl_tpu.ops.sparse import RelationalGraph
@@ -53,6 +54,10 @@ class GCNTrunk(nn.Module):
     edge_dropout_rate: float = 0.3
     g1_first: bool = True
     use_attention: bool = True
+    # Attention on the sparse path: "dense" unflattens to (B, N, F) and
+    # runs the reference's per-document dense NodeSelfAtten; "sparse" runs
+    # the O(E) edge-restricted segment-softmax attention (big graphs).
+    attention_impl: str = "dense"
     # "xla" (default) or "pallas": the fused DropEdge+aggregation TPU
     # kernel (grl_tpu/ops/pallas/relagg.py). Pallas requires the node
     # dimension padded to a multiple of 128.
@@ -138,7 +143,24 @@ class GCNTrunk(nn.Module):
             jnp.concatenate(cat13, axis=-1)
         )
         if self.use_attention:
-            new_v = NodeSelfAtten(self.net_size // 2, dtype=dtype, name="self_atten")(new_v)
+            half = self.net_size // 2
+            if sparse and self.attention_impl == "sparse":
+                new_v = SparseNodeSelfAtten(half, dtype=dtype, name="self_atten")(
+                    new_v, A
+                )
+            elif sparse:
+                if A.batch_shape is None:
+                    raise ValueError(
+                        "Dense NodeSelfAtten on a flat sparse graph needs "
+                        "batch_shape to unflatten; set attention_impl='sparse' "
+                        "or use_attention=False for single large graphs."
+                    )
+                B_, N_ = A.batch_shape
+                new_v = NodeSelfAtten(half, dtype=dtype, name="self_atten")(
+                    new_v.reshape(B_, N_, -1)
+                ).reshape(B_ * N_, -1)
+            else:
+                new_v = NodeSelfAtten(half, dtype=dtype, name="self_atten")(new_v)
         return new_v
 
 
@@ -155,6 +177,7 @@ class GraphCNNDropEdge(nn.Module):
     num_edges: int
     net_size: int = 256
     use_attention: bool = True
+    attention_impl: str = "dense"  # sparse path: "dense" per-doc | "sparse" O(E)
     rp_factor: int = 10  # RP_FACTOR (reference: drop_robust_gcn.py:10)
     dropout_rate: float = 0.5
     edge_dropout_rate: float = 0.3
@@ -169,6 +192,7 @@ class GraphCNNDropEdge(nn.Module):
             edge_dropout_rate=self.edge_dropout_rate,
             g1_first=True,
             use_attention=self.use_attention,
+            attention_impl=self.attention_impl,
             kernel_impl=self.kernel_impl,
             compute_dtype=self.compute_dtype,
             name="trunk",

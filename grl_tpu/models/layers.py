@@ -167,6 +167,43 @@ class NodeSelfAtten(nn.Module):
         return maybe_cast(gamma, self.dtype) * o + V
 
 
+class SparseNodeSelfAtten(nn.Module):
+    """Edge-restricted node self-attention over a :class:`RelationalGraph`.
+
+    The sparse analog of :class:`NodeSelfAtten` (reference:
+    gnn/models/networks/robust_gcn.py:78-99): instead of the dense
+    ``softmax(f V (g V)^T)`` over all ``N^2`` pairs, attention scores are
+    computed only on graph edges (SDDMM), normalized per receiver with a
+    segment softmax, and aggregated with a masked segment-sum SpMM — the
+    O(E) form that scales to OGB-size graphs where the dense ``N x N``
+    tensor cannot exist. On a fully-connected graph (plus self-loops) it
+    reproduces the dense layer exactly (tests/test_sparse_path.py).
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, V: jnp.ndarray, graph: "RelationalGraph") -> jnp.ndarray:
+        from grl_tpu.ops.segment import segment_softmax, segment_sum
+
+        f_out = LinearReLU(self.features // 8, dtype=self.dtype, name="f")(V)
+        g_out = LinearReLU(self.features // 8, dtype=self.dtype, name="g")(V)
+        h_out = LinearReLU(self.features, dtype=self.dtype, name="h")(V)
+        send, recv, mask = graph.senders, graph.receivers, graph.mask
+        # SDDMM: scores only on edges (recv attends to send).
+        scores = jnp.sum(f_out[recv] * g_out[send], axis=-1)
+        alpha = segment_softmax(
+            scores.astype(jnp.float32), recv, graph.num_nodes, mask=mask
+        )
+        alpha = maybe_cast(alpha, self.dtype or V.dtype)
+        o = segment_sum(h_out[send] * alpha[:, None], recv, graph.num_nodes)
+        gamma = self.param(
+            "gamma", lambda key, shape: jax.random.normal(key, shape), (self.features,)
+        )
+        return maybe_cast(gamma, self.dtype) * o.astype(V.dtype) + V
+
+
 class RanPAC(nn.Module):
     """Frozen random projection (RanPAC).
 

@@ -18,18 +18,26 @@ bernoulli draw fused into the same pass — no dense mask tensor.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class RelationalGraph(NamedTuple):
+@flax.struct.dataclass
+class RelationalGraph:
     """Static-shape sparse multi-relational graph (single sample or batch).
 
-    For a batch, node ids are offset into a flat ``B*N`` node space and
-    ``num_nodes`` is ``B*N``.
+    For a batch, node ids are offset into a flat ``B*N`` node space,
+    ``num_nodes`` is ``B*N`` and ``batch_shape`` records ``(B, N)`` so
+    per-document dense blocks (NodeSelfAtten) can unflatten.
+
+    A flax.struct pytree (not a NamedTuple) so the integer metadata is
+    static aux data: a RelationalGraph can be passed straight through
+    ``jax.jit`` argument boundaries — the edge arrays trace, the sizes
+    specialize the compilation (one executable per edge/node bucket).
     """
 
     senders: jnp.ndarray  # (E,) int32
@@ -37,8 +45,11 @@ class RelationalGraph(NamedTuple):
     relations: jnp.ndarray  # (E,) int32
     weights: jnp.ndarray  # (E,) float32
     mask: jnp.ndarray  # (E,) bool
-    num_nodes: int
-    num_relations: int
+    num_nodes: int = flax.struct.field(pytree_node=False)
+    num_relations: int = flax.struct.field(pytree_node=False)
+    batch_shape: Optional[Tuple[int, int]] = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
 
 def dense_to_relational_coo(
@@ -68,6 +79,35 @@ def dense_to_relational_coo(
         _pad(rel.astype(np.int32)),
         _pad(weights, 0),
         np.concatenate([np.ones(E, bool), np.zeros(pad, bool)]),
+    )
+
+
+def batch_relational_coo(
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    relations: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask: jnp.ndarray,
+    nodes_per_sample: int,
+    num_relations: int,
+) -> RelationalGraph:
+    """Stacked per-sample COO ``(B, E)`` -> one flat batch graph.
+
+    Node ids are offset by ``b * nodes_per_sample`` into a ``B*N`` node
+    space (documents stay disconnected); ``batch_shape`` keeps ``(B, N)``
+    so per-document dense blocks can unflatten. Jit-safe (static shapes).
+    """
+    B, _ = senders.shape
+    offs = (jnp.arange(B, dtype=jnp.int32) * nodes_per_sample)[:, None]
+    return RelationalGraph(
+        senders=(senders + offs).reshape(-1),
+        receivers=(receivers + offs).reshape(-1),
+        relations=relations.reshape(-1),
+        weights=weights.reshape(-1),
+        mask=mask.reshape(-1),
+        num_nodes=B * nodes_per_sample,
+        num_relations=num_relations,
+        batch_shape=(B, nodes_per_sample),
     )
 
 

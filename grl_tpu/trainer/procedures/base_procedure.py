@@ -19,6 +19,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from grl_tpu.config import ConfigDict, instantiate
@@ -87,6 +88,25 @@ class BaseProcedure:
         self.state: Optional[TrainState] = None
         self._train_step_fn: Optional[Callable] = None
         self._eval_step_fn: Optional[Callable] = None
+        # SPMD mesh from ``config.parallel.mesh`` (replaces the reference's
+        # DDP/DataParallel wrapping — reference: base_procedure.py:79-93):
+        # params are placed by tensor-parallel rules, the batch shards over
+        # the ``data`` axis, and XLA inserts the gradient reductions.
+        self.mesh = self._init_mesh()
+
+    def _init_mesh(self):
+        spec = self.config.get_path("parallel.mesh")
+        if not spec:
+            return None
+        from grl_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({k: int(v) for k, v in dict(spec).items()})
+        if int(np.prod(list(mesh.shape.values()))) <= 1:
+            return None  # single device: plain jit is the fast path
+        self.logger.info(
+            f"SPMD mesh over {len(mesh.devices.flat)} devices: {dict(mesh.shape)}"
+        )
+        return mesh
 
     @classmethod
     def _from_config(cls, model: Any, config: ConfigDict, **kwargs: Any) -> "BaseProcedure":
@@ -124,14 +144,27 @@ class BaseProcedure:
     def init_state(self, example_inputs: Tuple[jnp.ndarray, ...]) -> TrainState:
         variables = init_model(self.model, self.rng, example_inputs, train=False)
         params = variables["params"]
+        constants = variables.get("constants")
+        batch_stats = variables.get("batch_stats")
         self.logger.info(
             f"Num parameters of {self.model.__class__.__name__}: "
             f"{count_parameters(params):,}"
         )
+        if self.mesh is not None:
+            from grl_tpu.parallel.mesh import replicate, shard_params
+
+            # TP placement for wide projections; everything else replicates.
+            # The optimizer state inherits each param's sharding because
+            # zeros_like/eager init follow input placement.
+            params = shard_params(params, self.mesh)
+            if constants is not None:
+                constants = shard_params(constants, self.mesh)
+            if batch_stats is not None:
+                batch_stats = replicate(batch_stats, self.mesh)
         state = TrainState(
             params=params,
-            constants=variables.get("constants"),
-            batch_stats=variables.get("batch_stats"),
+            constants=constants,
+            batch_stats=batch_stats,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
@@ -164,6 +197,36 @@ class BaseProcedure:
         return lr
 
     # ------------------------------------------------------------------
+    # Batch placement
+    # ------------------------------------------------------------------
+    def place_batch(self, arrays: Dict[str, np.ndarray],
+                    pad_values: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Device-place a host batch; under a mesh, pad the batch dim to a
+        multiple of the ``data`` axis and shard it (the DistributedSampler
+        + per-rank batch split analog — reference: base_dataloader.py:90-107).
+
+        ``pad_values`` supplies the fill for the pad rows (e.g. -100 for
+        labels so the loss/metrics masks drop them — numerics identical to
+        the unpadded batch).
+        """
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        from grl_tpu.parallel.mesh import shard_batch
+
+        d = int(self.mesh.shape.get("data", 1))
+        B = next(iter(arrays.values())).shape[0]
+        pad = (-B) % d
+        if pad:
+            pad_values = pad_values or {}
+            arrays = {
+                k: np.concatenate(
+                    [v, np.full((pad, *v.shape[1:]), pad_values.get(k, 0), v.dtype)]
+                )
+                for k, v in arrays.items()
+            }
+        return shard_batch(arrays, self.mesh)
+
+    # ------------------------------------------------------------------
     # Jitted steps
     # ------------------------------------------------------------------
     def _apply_kwargs(self) -> Dict[str, Any]:
@@ -194,6 +257,9 @@ class BaseProcedure:
                         rngs={"dropout": rng},
                     )
                     new_bn = None
+                if logits.ndim == labels.ndim:
+                    # Sparse path: flat (B*N, C) logits -> (B, N, C).
+                    logits = logits.reshape(*labels.shape, -1)
                 return criterion(logits, labels), (logits, new_bn)
 
             (loss, (logits, new_bn)), grads = jax.value_and_grad(
@@ -221,6 +287,8 @@ class BaseProcedure:
             logits = model.apply(
                 state.variables(), (V, A), train=False, lambda_value=lam
             )
+            if logits.ndim == labels.ndim:
+                logits = logits.reshape(*labels.shape, -1)
             loss = criterion(logits, labels)
             preds = jnp.argmax(logits, axis=-1)
             cm = confusion_matrix(preds, labels, num_classes, ignore_values)

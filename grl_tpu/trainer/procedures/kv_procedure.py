@@ -80,10 +80,44 @@ class KVProcedure(BaseProcedure):
 
     # ------------------------------------------------------------------
     def _prepare_batch(self, batch: Dict[str, Any]):
-        V = jnp.asarray(batch["textline_encoding"], jnp.float32)
-        A = jnp.asarray(batch["adjacency_matrix"], jnp.float32)
-        labels = jnp.asarray(batch["node_label"], jnp.int32)
-        return V, A, labels
+        # Host-side dtype prep: under a bf16 compute recipe the features
+        # and adjacency are cast BEFORE the device transfer — halves H2D
+        # traffic and removes the per-step on-device cast pass.
+        feat_dtype = np.float32
+        compute_dtype = getattr(self.model, "compute_dtype", None)
+        if compute_dtype is not None:
+            import ml_dtypes
+
+            feat_dtype = np.dtype(ml_dtypes.bfloat16) if "bfloat16" in str(
+                compute_dtype
+            ) else np.dtype(compute_dtype)
+        arrays = {
+            "V": np.asarray(batch["textline_encoding"]).astype(feat_dtype),
+            "labels": np.asarray(batch["node_label"]).astype(np.int32),
+        }
+        sparse = "coo_senders" in batch
+        if sparse:
+            # SparseBucketPadding emitted COO edge lists: the batch is
+            # O(N·F + E), never materializing the dense (B,N,L,N) tensor.
+            for key in ("coo_senders", "coo_receivers", "coo_relations"):
+                arrays[key] = np.asarray(batch[key]).astype(np.int32)
+            arrays["coo_weights"] = np.asarray(batch["coo_weights"]).astype(feat_dtype)
+            arrays["coo_mask"] = np.asarray(batch["coo_mask"]).astype(bool)
+        else:
+            arrays["A"] = np.asarray(batch["adjacency_matrix"]).astype(feat_dtype)
+        placed = self.place_batch(arrays, pad_values={"labels": self.pad_value})
+        if not sparse:
+            return placed["V"], placed["A"], placed["labels"]
+        from grl_tpu.ops.sparse import batch_relational_coo
+
+        B, N = placed["labels"].shape
+        graph = batch_relational_coo(
+            placed["coo_senders"], placed["coo_receivers"],
+            placed["coo_relations"], placed["coo_weights"], placed["coo_mask"],
+            nodes_per_sample=N, num_relations=int(self.model.num_edges),
+        )
+        V_flat = placed["V"].reshape(B * N, -1)
+        return V_flat, graph, placed["labels"]
 
     def _ensure_initialized(self, batch: Dict[str, Any]) -> None:
         if self.state is None:

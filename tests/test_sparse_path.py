@@ -1,0 +1,165 @@
+"""Config-reachable sparse (COO) path: collate -> procedure -> model.
+
+Round-1 shipped the COO ops but no entry point could reach them (the
+procedure hard-coded the dense adjacency). These tests pin the full wiring:
+``SparseBucketPadding`` emits edge lists, ``KVProcedure`` builds a flat
+batched :class:`RelationalGraph`, the flagship runs its sparse mode with
+per-document dense attention, and the numbers equal the dense path.
+Reference anchor: the dense math being reproduced is
+gnn/models/networks/robust_gcn.py:32-51 (GraphConv) and :78-99
+(NodeSelfAtten).
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grl_tpu.models import GraphCNNDropEdge, init_model
+from grl_tpu.ops.sparse import (
+    RelationalGraph,
+    batch_relational_coo,
+    dense_to_relational_coo,
+)
+
+from tests.test_procedures import base_config, make_split
+
+
+def _random_dense(seed=0, B=2, N=48, L=3, F=16, density=0.08):
+    rng = np.random.RandomState(seed)
+    V = rng.randn(B, N, F).astype(np.float32)
+    A = (rng.rand(B, N, L, N) < density).astype(np.float32)
+    return V, A
+
+
+def _batched_coo(A, edge_bucket=None):
+    B, N, L, _ = A.shape
+    counts = [int(np.count_nonzero(A[b])) for b in range(B)]
+    bucket = edge_bucket or max(max(counts), 1)
+    parts = [dense_to_relational_coo(A[b], edge_bucket=bucket) for b in range(B)]
+    stacked = [jnp.asarray(np.stack([p[i] for p in parts])) for i in range(5)]
+    return batch_relational_coo(*stacked, nodes_per_sample=N, num_relations=L)
+
+
+class TestSparseDenseEquivalence:
+    def test_flagship_sparse_forward_matches_dense(self):
+        V, A = _random_dense()
+        B, N, L, F = A.shape[0], A.shape[1], A.shape[2], V.shape[-1]
+        model = GraphCNNDropEdge(
+            input_dim=F, output_dim=7, num_edges=L, net_size=16
+        )
+        variables = init_model(model, jax.random.PRNGKey(0), (jnp.asarray(V), jnp.asarray(A)))
+        dense_out = model.apply(variables, (jnp.asarray(V), jnp.asarray(A)), train=False)
+        graph = _batched_coo(A)
+        sparse_out = model.apply(
+            variables, (jnp.asarray(V).reshape(B * N, F), graph), train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(sparse_out).reshape(B, N, -1), np.asarray(dense_out),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_sparse_attention_equals_dense_on_complete_graph(self):
+        """Edge-restricted attention over a fully-connected single-relation
+        graph == the dense NodeSelfAtten (same f/g/h/gamma params)."""
+        from grl_tpu.models.layers import NodeSelfAtten, SparseNodeSelfAtten
+
+        rng = np.random.RandomState(1)
+        N, F = 24, 16
+        V = jnp.asarray(rng.randn(1, N, F).astype(np.float32))
+        dense = NodeSelfAtten(F)
+        variables = dense.init(jax.random.PRNGKey(2), V)
+        out_dense = dense.apply(variables, V)
+
+        send, recv = np.meshgrid(np.arange(N), np.arange(N))
+        graph = RelationalGraph(
+            senders=jnp.asarray(send.reshape(-1), jnp.int32),
+            receivers=jnp.asarray(recv.reshape(-1), jnp.int32),
+            relations=jnp.zeros(N * N, jnp.int32),
+            weights=jnp.ones(N * N, jnp.float32),
+            mask=jnp.ones(N * N, bool),
+            num_nodes=N,
+            num_relations=1,
+        )
+        sparse = SparseNodeSelfAtten(F)
+        out_sparse = sparse.apply(variables, V[0], graph)
+        np.testing.assert_allclose(
+            np.asarray(out_sparse), np.asarray(out_dense[0]), rtol=1e-5, atol=1e-5
+        )
+
+    def test_relational_graph_is_jit_argument(self):
+        """Static metadata means a RelationalGraph crosses jit boundaries."""
+        V, A = _random_dense(seed=3, B=1)
+        graph = _batched_coo(A)
+
+        @jax.jit
+        def agg(v, g):
+            from grl_tpu.ops.sparse import relational_aggregate_coo
+
+            return relational_aggregate_coo(v, g)
+
+        out = agg(jnp.asarray(V).reshape(-1, V.shape[-1]), graph)
+        assert out.shape == (A.shape[1], (A.shape[2] + 1) * V.shape[-1])
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from grl_tpu.data.synthetic import synthetic_dataset_files
+
+    root = tmp_path_factory.mktemp("sparseproc")
+    data_dir, classes_path, charset_path = synthetic_dataset_files(
+        str(root), num_pages=8, seed=5
+    )
+    charset = json.load(open(charset_path))["charset"]
+    return root, data_dir, classes_path, charset_path, len(charset) + 4
+
+
+class TestSparseKVProcedure:
+    def _proc(self, synth, name, mesh=None, epochs=1, **model_kwargs):
+        root, data_dir, classes_path, charset_path, input_dim = synth
+        from grl_tpu.trainer.procedures import KVProcedure
+
+        split = make_split(data_dir, classes_path, charset_path)
+        split["batch_size"] = 8
+        split["data_collate"] = {
+            "SparseBucketPadding": {
+                "quantum": 64, "edge_quantum": 256, "only_selected_items": True,
+            }
+        }
+        cfg = base_config(root, split, name, epochs=epochs)
+        cfg["optimizer"]["args"]["lr"] = 0.01
+        model = GraphCNNDropEdge(
+            input_dim=input_dim, output_dim=15, num_edges=6,
+            **{"net_size": 32, **model_kwargs},
+        )
+        if mesh:
+            cfg["parallel"] = {"mesh": mesh}
+        return KVProcedure(model, cfg)
+
+    def test_batch_reaches_model_as_relational_graph(self, synth):
+        proc = self._proc(synth, "sparse-batch")
+        batch = next(iter(proc.train_loader))
+        assert "coo_senders" in batch and "adjacency_matrix" not in batch
+        V, A, labels = proc._prepare_batch(batch)
+        assert isinstance(A, RelationalGraph)
+        assert A.batch_shape == tuple(labels.shape)
+        assert V.shape[0] == labels.shape[0] * labels.shape[1]
+
+    def test_sparse_training_learns(self, synth):
+        proc = self._proc(
+            synth, "sparse-train", epochs=12,
+            net_size=64, dropout_rate=0.1, edge_dropout_rate=0.1,
+        )
+        f1 = proc()
+        # far above the 15-class chance level (the same recipe reaches
+        # f1=1.0 on both dense and sparse paths)
+        assert f1 > 0.6, f1
+
+    def test_sparse_under_mesh(self, synth):
+        proc = self._proc(synth, "sparse-mesh", mesh={"data": 2})
+        metrics = proc._optimize_per_epoch(0)
+        assert np.isfinite(metrics["loss"])
