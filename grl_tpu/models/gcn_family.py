@@ -104,7 +104,9 @@ class GCNTrunk(nn.Module):
     ) -> jnp.ndarray:
         V, A = inputs
         det = not train
-        sparse = isinstance(A, RelationalGraph)
+        from grl_tpu.models.layers import SparseAdjacency
+
+        sparse = isinstance(A, SparseAdjacency)
         dtype = self._dtype
         V = maybe_cast(V, dtype)
         if not sparse:
@@ -144,6 +146,13 @@ class GCNTrunk(nn.Module):
         )
         if self.use_attention:
             half = self.net_size // 2
+            if sparse and not isinstance(A, RelationalGraph):
+                raise ValueError(
+                    "NodeSelfAtten is global over nodes and cannot run on a "
+                    "node-partitioned shard; build partitioned models with "
+                    "use_attention=False (the reference never runs attention "
+                    "at beyond-one-device graph sizes either)."
+                )
             if sparse and self.attention_impl == "sparse":
                 new_v = SparseNodeSelfAtten(half, dtype=dtype, name="self_atten")(
                     new_v, A

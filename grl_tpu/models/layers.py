@@ -17,8 +17,11 @@ import jax.numpy as jnp
 
 from grl_tpu.ops.relconv import drop_edge, relational_neighbor_aggregate
 from grl_tpu.ops.sparse import RelationalGraph, drop_edge_coo, relational_neighbor_coo
+from grl_tpu.parallel.graph_partition import LocalShardGraph, _ring_aggregate_body
 
-Adjacency = Union[jnp.ndarray, RelationalGraph]
+Adjacency = Union[jnp.ndarray, RelationalGraph, LocalShardGraph]
+
+SparseAdjacency = (RelationalGraph, LocalShardGraph)
 
 Dtype = Any  # jnp dtype or None (inherit input dtype)
 
@@ -97,6 +100,15 @@ class GraphConv(nn.Module):
             # e.g. from the fused Pallas kernel: (self_term, (B,N,L,F)).
             self_term, neigh = precomputed_neigh
             neigh = neigh.reshape(*neigh.shape[:-2], -1)
+        elif isinstance(A, LocalShardGraph):
+            # Partitioned path (inside shard_map): ring ppermute halo
+            # exchange overlapped with local gather+segment-sum.
+            w = A.weights if edge_keep is None else A.weights * edge_keep
+            neigh = _ring_aggregate_body(
+                V, A.senders, A.relations, A.receivers_local,
+                w.astype(V.dtype), A.num_relations, A.shard_n, A.axis,
+            )
+            self_term = V if self_scale is None else V * self_scale[..., None]
         elif isinstance(A, RelationalGraph):
             neigh = relational_neighbor_coo(V, A, edge_keep)
             self_term = V if self_scale is None else V * self_scale[..., None]
@@ -132,9 +144,12 @@ class EdgeDropout(nn.Module):
     @nn.compact
     def __call__(self, A: Adjacency, deterministic: bool):
         if deterministic or self.rate <= 0.0:
-            return (A, None) if not isinstance(A, RelationalGraph) else (None, None)
+            return (A, None) if not isinstance(A, SparseAdjacency) else (None, None)
         key = self.make_rng("dropout")
-        if isinstance(A, RelationalGraph):
+        if isinstance(A, SparseAdjacency):
+            # LocalShardGraph duck-types RelationalGraph here (num_nodes =
+            # shard_n); the caller folds the device index into the rng so
+            # shards draw independent masks.
             edge_keep, self_scale = drop_edge_coo(key, A, self.rate)
             return edge_keep, self_scale
         A_dropped, self_scale = drop_edge(key, A, self.rate)

@@ -1,8 +1,14 @@
 from grl_tpu.parallel.graph_partition import (
+    LocalShardGraph,
     PartitionedGraph,
     all_gather_relational_aggregate,
+    local_shard_graph,
     partition_graph,
     partitioned_relational_aggregate,
+)
+from grl_tpu.parallel.sharded_flagship import (
+    make_partitioned_model_step,
+    pad_node_arrays,
 )
 from grl_tpu.parallel.mesh import (
     DEFAULT_TP_RULES,
@@ -13,7 +19,11 @@ from grl_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "LocalShardGraph",
     "PartitionedGraph",
+    "local_shard_graph",
+    "make_partitioned_model_step",
+    "pad_node_arrays",
     "all_gather_relational_aggregate",
     "partition_graph",
     "partitioned_relational_aggregate",

@@ -91,6 +91,51 @@ def partition_graph(
     )
 
 
+class LocalShardGraph(NamedTuple):
+    """Device-local view of a :class:`PartitionedGraph` INSIDE a shard_map
+    body — the adjacency type the model family's GraphConv accepts on the
+    partitioned path (the SP-analog of a sequence shard). ``senders`` stay
+    global (the ring rotation resolves them); ``receivers_local`` are
+    block-local output rows; ``weights`` are pre-masked.
+    """
+
+    senders: jnp.ndarray  # (Es,) global sender ids
+    receivers_local: jnp.ndarray  # (Es,) block-local receiver rows
+    relations: jnp.ndarray  # (Es,)
+    weights: jnp.ndarray  # (Es,) mask-multiplied
+    axis: str  # mesh axis the nodes shard over
+    shard_n: int  # nodes per device
+    num_relations: int
+
+    @property
+    def num_nodes(self) -> int:  # duck-types RelationalGraph for DropEdge
+        return self.shard_n
+
+
+def local_shard_graph(
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    relations: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask: jnp.ndarray,
+    shard_n: int,
+    num_relations: int,
+    axis: str,
+) -> LocalShardGraph:
+    """Build the device-local graph view from shard_map edge blocks
+    (leading device axis of size 1 still attached)."""
+    d = jax.lax.axis_index(axis)
+    return LocalShardGraph(
+        senders=senders[0],
+        receivers_local=receivers[0] - d * shard_n,
+        relations=relations[0],
+        weights=weights[0] * mask[0].astype(weights.dtype),
+        axis=axis,
+        shard_n=shard_n,
+        num_relations=num_relations,
+    )
+
+
 def _ring_aggregate_body(
     V_block: jnp.ndarray,
     senders: jnp.ndarray,

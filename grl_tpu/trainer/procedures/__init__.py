@@ -1,4 +1,5 @@
 from grl_tpu.trainer.procedures.base_procedure import BaseProcedure, TrainState
+from grl_tpu.trainer.procedures.full_graph_procedure import FullGraphProcedure
 from grl_tpu.trainer.procedures.finetune_kv_procedure import (
     FinetuneKVProcedure,
     merge_matching_leaves,
@@ -11,6 +12,7 @@ from grl_tpu.trainer.procedures.kv_procedure import KVProcedure
 from grl_tpu.trainer.procedures.ssl_pretrain_procedure import SSLPretrainProcedure
 
 __all__ = [
+    "FullGraphProcedure",
     "BaseProcedure",
     "TrainState",
     "KVProcedure",

@@ -26,24 +26,92 @@ from grl_tpu.trainer.losses import cross_entropy
 from grl_tpu.trainer.procedures.base_procedure import BaseProcedure, TrainState
 
 
-class FullGraphProcedure(BaseProcedure):
-    """Train ``model`` on one LargeGraphData graph; returns best val acc."""
-
-    def __init__(self, model: Any, config: ConfigDict, data: LargeGraphData,
-                 **kwargs: Any):
-        super().__init__(model, config, **kwargs)
-        self.data = data
-        self.graph, features = to_relational_graph(data)
-        self.features = jnp.asarray(features)
-        self.labels = jnp.asarray(data.labels, jnp.int32)
-        self.train_labels = jnp.where(
-            jnp.asarray(data.train_mask), self.labels, -100
+def large_graph_from_config(config: ConfigDict) -> LargeGraphData:
+    """Build the full-batch graph from ``config.data_config.large_graph``:
+    ``{type: sbm, args: {...}}`` (synthetic OGB-style SBM) or
+    ``{type: npz, path: ...}`` (arrays named like LargeGraphData fields)."""
+    spec = config.get_path("data_config.large_graph")
+    if not spec:
+        raise ValueError(
+            "FullGraphProcedure needs either a `data=` argument or a "
+            "config.data_config.large_graph block ({type: sbm|npz, ...})."
         )
-        self.val_labels = jnp.where(jnp.asarray(data.val_mask), self.labels, -100)
+    kind = spec.get("type", "sbm")
+    if kind == "sbm":
+        from grl_tpu.data.large_graph import sbm_relational_graph
+
+        return sbm_relational_graph(**dict(spec.get("args", {}) or {}))
+    if kind == "npz":
+        loaded = np.load(spec["path"])
+        return LargeGraphData(
+            features=loaded["features"].astype(np.float32),
+            labels=loaded["labels"].astype(np.int32),
+            senders=loaded["senders"].astype(np.int32),
+            receivers=loaded["receivers"].astype(np.int32),
+            relations=loaded["relations"].astype(np.int32),
+            weights=loaded["weights"].astype(np.float32),
+            train_mask=loaded["train_mask"].astype(bool),
+            val_mask=loaded["val_mask"].astype(bool),
+            num_classes=int(loaded["num_classes"]),
+            num_relations=int(loaded["num_relations"]),
+        )
+    raise ValueError(f"Unknown large_graph type: {kind}")
+
+
+class FullGraphProcedure(BaseProcedure):
+    """Train ``model`` on one LargeGraphData graph; returns best val acc.
+
+    Single-device: sparse COO mode (RelationalGraph). Under a
+    ``config.parallel.mesh``: node-partitioned SPMD — the model's
+    GraphConvs run the ring-halo aggregation over the ``data`` axis
+    (grl_tpu.parallel.sharded_flagship), the SP-analog capability the
+    reference lacks (SURVEY.md §2.6).
+    """
+
+    def __init__(self, model: Any, config: ConfigDict,
+                 data: Optional[LargeGraphData] = None, **kwargs: Any):
+        super().__init__(model, config, **kwargs)
+        self.data = data if data is not None else large_graph_from_config(config)
+        data = self.data
+        self._partitioned = self.mesh is not None
+        labels = np.asarray(data.labels, np.int32)
+        train_labels = np.where(data.train_mask, labels, -100)
+        val_labels = np.where(data.val_mask, labels, -100)
+        if self._partitioned:
+            from grl_tpu.parallel.graph_partition import partition_graph
+            from grl_tpu.parallel.sharded_flagship import pad_node_arrays
+
+            self.part = partition_graph(
+                np.asarray(data.senders), np.asarray(data.receivers),
+                np.asarray(data.relations), np.asarray(data.weights),
+                num_nodes=len(data.features),
+                num_relations=data.num_relations,
+                num_shards=int(self.mesh.shape["data"]),
+            )
+            feats, self._train_np = pad_node_arrays(
+                np.asarray(data.features, np.float32), train_labels,
+                self.part.num_nodes,
+            )
+            _, self._val_np = pad_node_arrays(
+                np.asarray(data.features, np.float32), val_labels,
+                self.part.num_nodes,
+            )
+            self.graph = None
+            self.features = jnp.asarray(feats)
+            self.train_labels = jnp.asarray(self._train_np)
+            self.val_labels = jnp.asarray(self._val_np)
+        else:
+            self.graph, features = to_relational_graph(data)
+            self.features = jnp.asarray(features)
+            self.train_labels = jnp.asarray(train_labels)
+            self.val_labels = jnp.asarray(val_labels)
         self._train_fn = None
         self._eval_fn = None
 
     def _ensure_initialized(self) -> None:
+        if self._partitioned:
+            self._ensure_initialized_partitioned()
+            return
         if self.state is None:
             variables = init_model(
                 self.model, self.rng, (self.features, self.graph), train=False
@@ -97,11 +165,78 @@ class FullGraphProcedure(BaseProcedure):
             self._train_fn = train_step
             self._eval_fn = eval_step
 
+    def _ensure_initialized_partitioned(self) -> None:
+        if self.state is None:
+            from grl_tpu.ops.sparse import RelationalGraph
+
+            # Params depend only on feature widths: init against a tiny
+            # single-device RelationalGraph slice of the same relations.
+            k = min(64, len(self.data.features))
+            tiny = RelationalGraph(
+                senders=jnp.zeros(8, jnp.int32),
+                receivers=jnp.zeros(8, jnp.int32),
+                relations=jnp.zeros(8, jnp.int32),
+                weights=jnp.zeros(8, jnp.float32),
+                mask=jnp.zeros(8, bool),
+                num_nodes=k,
+                num_relations=self.data.num_relations,
+            )
+            variables = init_model(
+                self.model, self.rng,
+                (jnp.asarray(self.data.features[:k]), tiny), train=False,
+            )
+            self.logger.info(
+                f"Partitioned model params: "
+                f"{count_parameters(variables['params']):,} | "
+                f"shards={int(self.mesh.shape['data'])} "
+                f"nodes={self.part.num_nodes:,} "
+                f"edges={int(np.asarray(self.part.mask).sum()):,}"
+            )
+            state = TrainState(
+                params=variables["params"],
+                constants=variables.get("constants"),
+                batch_stats=variables.get("batch_stats"),
+                opt_state=self.tx.init(variables["params"]),
+                step=jnp.zeros((), jnp.int32),
+            )
+            self.state = self._load_prev_checkpoint(state)
+        if self._train_fn is None:
+            from grl_tpu.parallel.sharded_flagship import (
+                make_partitioned_model_step,
+            )
+
+            step, fwd = make_partitioned_model_step(
+                self.model, self.mesh, self.part, self.tx
+            )
+
+            def train_fn(state: TrainState, V, labels, rng):
+                params, opt_state, loss = step(
+                    state.params, state.constants, state.opt_state,
+                    V, labels, rng,
+                )
+                return (
+                    state.replace(
+                        params=params, opt_state=opt_state, step=state.step + 1
+                    ),
+                    loss,
+                )
+
+            def eval_fn(state: TrainState, V, labels):
+                logits = fwd(state.params, state.constants, V)
+                preds = jnp.argmax(logits, axis=-1)
+                mask = labels != -100
+                correct = jnp.sum((preds == labels) & mask)
+                return correct / jnp.maximum(jnp.sum(mask), 1)
+
+            self._train_fn = train_fn
+            self._eval_fn = eval_fn
+
     def __call__(self) -> float:
         self._ensure_initialized()
         num_epochs = int(self.config.get("num_epochs", 100))
         best_acc = 0.0
-        edges = int(np.asarray(self.graph.mask).sum())
+        mask = self.part.mask if self._partitioned else self.graph.mask
+        edges = int(np.asarray(mask).sum())
         start = time.time()
         for epoch in range(num_epochs):
             self.rng, step_rng = jax.random.split(self.rng)

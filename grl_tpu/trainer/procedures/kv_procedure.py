@@ -229,6 +229,17 @@ class KVProcedure(BaseProcedure):
         return macro_val
 
     # ------------------------------------------------------------------
+    def _log_parameter_histograms(self, epoch: int) -> None:
+        """Per-parameter histogram each epoch (reference:
+        kv_procedure.py:357-359). One D2H of the weights per epoch, only
+        when the tensorboard sink is enabled — it is the only consumer."""
+        if self.state is None or not getattr(self.tb_writer, "_tb", None):
+            return
+        for path, leaf in jax.tree_util.tree_leaves_with_path(self.state.params):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            self.tb_writer.add_histogram(name, np.asarray(leaf), epoch)
+
+    # ------------------------------------------------------------------
     def visualize_representation_space(self, loader=None, out_path: Optional[str] = None):
         """2-D t-SNE plot of trunk node embeddings
         (reference: kv_procedure.py:283-344). Requires sklearn+matplotlib;
@@ -279,6 +290,7 @@ class KVProcedure(BaseProcedure):
         for epoch in range(num_epochs):
             metrics = self._optimize_per_epoch(epoch)
             self._update_learning_rate(epoch, self.global_step)
+            self._log_parameter_histograms(epoch)
             if metrics["loss"] < best_loss:
                 best_loss = metrics["loss"]
                 self.checkpointer.save_checkpoint(

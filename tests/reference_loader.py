@@ -61,3 +61,14 @@ def import_reference_models():
     robust_gcn = importlib.import_module("gnn.models.networks.robust_gcn")
     drop_robust_gcn = importlib.import_module("gnn.models.networks.drop_robust_gcn")
     return robust_gcn, drop_robust_gcn
+
+
+def import_reference_module(name: str):
+    """Import any reference module (e.g. 'gnn.models.networks.rp_robust_gcn')
+    with the dependency stubs in place."""
+    install_reference_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import importlib
+
+    return importlib.import_module(name)

@@ -1,0 +1,147 @@
+"""Pallas blocked-CSR sparse SpMM kernel: parity vs the COO segment-sum
+path (interpreter mode on the CPU harness; TPU perf lives in bench.py)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from grl_tpu.ops.pallas import csr_spmm
+from grl_tpu.ops.sparse import RelationalGraph, relational_neighbor_coo
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    csr_spmm.INTERPRET = True
+    with pltpu.force_tpu_interpret_mode():
+        yield
+    csr_spmm.INTERPRET = False
+
+
+def random_graph(seed=0, N=300, L=3, E=2000, F=32):
+    rng = np.random.RandomState(seed)
+    senders = rng.randint(0, N, E).astype(np.int32)
+    receivers = rng.randint(0, N, E).astype(np.int32)
+    relations = rng.randint(0, L, E).astype(np.int32)
+    weights = rng.rand(E).astype(np.float32) + 0.1
+    V = rng.randn(N, F).astype(np.float32)
+    graph = RelationalGraph(
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        relations=jnp.asarray(relations), weights=jnp.asarray(weights),
+        mask=jnp.ones(E, bool), num_nodes=N, num_relations=L,
+    )
+    return senders, receivers, relations, weights, V, graph
+
+
+def make_kernel(senders, receivers, relations, weights, N, L, **kw):
+    defaults = dict(block_rows=128, chunk_cols=128, edge_quantum=64, unroll=4)
+    defaults.update(kw)
+    return csr_spmm.CSRGraphKernel(
+        senders, receivers, relations, weights, N, L, **defaults
+    )
+
+
+class TestForwardParity:
+    def test_matches_coo_segment_sum(self):
+        senders, receivers, relations, weights, V, graph = random_graph()
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations)
+        out = kern.neighbor_aggregate(jnp.asarray(V))
+        expected = relational_neighbor_coo(jnp.asarray(V), graph)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5
+        )
+
+    def test_multi_block_multi_chunk(self):
+        senders, receivers, relations, weights, V, graph = random_graph(
+            seed=1, N=500, L=2, E=4000, F=16
+        )
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations,
+                           block_rows=128, chunk_cols=256)
+        out = kern.neighbor_aggregate(jnp.asarray(V))
+        expected = relational_neighbor_coo(jnp.asarray(V), graph)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-5
+        )
+
+    def test_bf16_gather_f32_accumulate(self):
+        senders, receivers, relations, weights, V, graph = random_graph(seed=2)
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations)
+        out = kern.neighbor_aggregate(jnp.asarray(V, jnp.bfloat16))
+        assert out.dtype == jnp.bfloat16
+        expected = relational_neighbor_coo(jnp.asarray(V), graph)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(expected), rtol=0.05, atol=0.2
+        )
+
+
+class TestGradients:
+    def test_dv_matches_coo_grad(self):
+        senders, receivers, relations, weights, V, graph = random_graph(
+            seed=3, N=200, L=2, E=1200, F=8
+        )
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations)
+
+        def f_pallas(v):
+            return jnp.sum(kern.neighbor_aggregate(v) ** 2)
+
+        def f_coo(v):
+            return jnp.sum(relational_neighbor_coo(v, graph) ** 2)
+
+        g_pallas = jax.grad(f_pallas)(jnp.asarray(V))
+        g_coo = jax.grad(f_coo)(jnp.asarray(V))
+        np.testing.assert_allclose(
+            np.asarray(g_pallas), np.asarray(g_coo), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestFusedDropEdge:
+    def test_unbiased_and_deterministic(self):
+        senders, receivers, relations, weights, V, graph = random_graph(
+            seed=4, N=128, L=2, E=1500, F=8
+        )
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations)
+        outs = [
+            np.asarray(kern.neighbor_aggregate(jnp.asarray(V), seed=s, rate=0.3))
+            for s in range(16)
+        ]
+        expected = np.asarray(relational_neighbor_coo(jnp.asarray(V), graph))
+        mean = np.mean(outs, axis=0)
+        denom = np.abs(expected).max() + 1e-6
+        assert np.abs(mean - expected).max() / denom < 0.5
+        again = np.asarray(
+            kern.neighbor_aggregate(jnp.asarray(V), seed=3, rate=0.3)
+        )
+        np.testing.assert_array_equal(again, outs[3])
+
+    def test_backward_mask_consistent_with_forward(self):
+        """<grad sum(y), V> == sum(y) for the linear masked op — fails if
+        the transposed layout regenerates a different hash mask."""
+        senders, receivers, relations, weights, V, graph = random_graph(
+            seed=5, N=160, L=3, E=900, F=8
+        )
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations)
+        Vj = jnp.asarray(V)
+
+        def f(v):
+            return jnp.sum(kern.neighbor_aggregate(v, seed=11, rate=0.3))
+
+        y = float(f(Vj))
+        dV = jax.grad(f)(Vj)
+        np.testing.assert_allclose(float(jnp.vdot(dV, Vj)), y, rtol=1e-4)
+
+    def test_zero_rate_equals_plain(self):
+        senders, receivers, relations, weights, V, graph = random_graph(seed=6)
+        kern = make_kernel(senders, receivers, relations, weights,
+                           graph.num_nodes, graph.num_relations)
+        a = kern.neighbor_aggregate(jnp.asarray(V), seed=0, rate=0.0)
+        b = kern.neighbor_aggregate(jnp.asarray(V), seed=9, rate=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
