@@ -1,3 +1,4 @@
+from grl_tpu.parallel.distributed import initialize_distributed
 from grl_tpu.parallel.graph_partition import (
     LocalShardGraph,
     PartitionedGraph,
@@ -19,6 +20,7 @@ from grl_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "LocalShardGraph",
     "PartitionedGraph",
     "local_shard_graph",

@@ -51,6 +51,13 @@ class GNNLearningWarper:
         os.makedirs(output_dir, exist_ok=True)
         self.config["output_dir"] = output_dir
 
+        # Multi-host runtime (replaces the reference's NCCL process-group
+        # init — reference: cl_warper.py:73-75): derives host_id/num_hosts
+        # into the config for per-host data sharding; no-op single-process.
+        from grl_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(self.config)
+
         self.seed = int(self.config.get("seed", 0))
         self.rng = jax.random.PRNGKey(self.seed)
 
