@@ -1,14 +1,22 @@
 """Benchmark: flagship GraphCNNDropEdge training throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Measures full training-step throughput (forward + backward + Adam update)
 at sumi scale (input_dim=4369, output_dim=53, num_edges=6, net_size=256 —
-reference: README.md:84) and reports relational-aggregation edge
-throughput: 3 GraphConv layers x B x (L+1) x N^2 dense adjacency entries
-per step.
+reference: README.md:84) across {pallas, xla} x {bf16, f32}, plus a
+larger-N shape, and reports:
 
-``vs_baseline`` compares against the PyTorch reference model
+* the headline relational-aggregation edge throughput (3 GraphConv layers
+  x B x (L+1) x N^2 dense adjacency entries per step — the dense-matmul
+  work the reference actually performs, comparable across rounds),
+* ``mfu``: achieved model FLOP/s (XLA compiled-executable cost analysis)
+  divided by the detected chip's bf16 peak,
+* ``sparse_edges_per_s``: actual-nnz edge throughput of the sparse path
+  (fwd+bwd) at ogbn-arxiv scale, best of {XLA segment-sum, Pallas CSR},
+  with ``sparse_hbm_frac`` giving its HBM-roofline fraction.
+
+``vs_baseline`` compares steps/s against the PyTorch reference model
 (gnn/models/networks/drop_robust_gcn.py:31-103) running the identical
 training step on this host's CPU — the only execution path the reference
 supports here (it has no TPU backend; that gap is the point of this
@@ -31,13 +39,39 @@ WARMUP, ITERS = 5, 20
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 CONFIG_KEY = f"drop_edge_train_B{B}_N{N}_L{L}_F{F_IN}_C{C}_net{NET}"
 
+# Peak specs by device_kind substring: (bf16 TFLOP/s, HBM GB/s).
+# Public cloud.google.com/tpu/docs system-architecture numbers.
+CHIP_PEAKS = {
+    "v6": (918e12, 1640e9),   # Trillium / v6e
+    "v5p": (459e12, 2765e9),
+    "v5": (197e12, 819e9),    # v5e / "v5 lite"
+    "v4": (275e12, 1228e9),
+    "v3": (123e12, 900e9),
+}
 
-def edges_per_step() -> float:
-    return 3.0 * B * (L + 1) * N * N
+
+def detect_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return None, None
 
 
-def measure_tpu(kernel_impl: str = "pallas", compute_dtype: str | None = None) -> float:
-    """Training steps/s of the jitted jax model on the default device."""
+def edges_per_step(b=B, n=N) -> float:
+    return 3.0 * b * (L + 1) * n * n
+
+
+def measure_tpu(
+    kernel_impl: str = "pallas",
+    compute_dtype: str | None = None,
+    b: int = B,
+    n: int = N,
+) -> tuple[float, float | None]:
+    """(steps/s, model FLOPs/step from XLA cost analysis) on the default
+    device for one (kernel, dtype, shape) config of the jitted train step."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -50,9 +84,9 @@ def measure_tpu(kernel_impl: str = "pallas", compute_dtype: str | None = None) -
         input_dim=F_IN, output_dim=C, num_edges=L, net_size=NET,
         kernel_impl=kernel_impl, compute_dtype=compute_dtype,
     )
-    V = jax.random.normal(key, (B, N, F_IN), jnp.float32)
-    A = (jax.random.uniform(key, (B, N, L, N)) < DENSITY).astype(jnp.float32)
-    labels = jax.random.randint(key, (B, N), 0, C)
+    V = jax.random.normal(key, (b, n, F_IN), jnp.float32)
+    A = (jax.random.uniform(key, (b, n, L, n)) < DENSITY).astype(jnp.float32)
+    labels = jax.random.randint(key, (b, n), 0, C)
     variables = init_model(model, key, (V, A))
     params, constants = variables["params"], variables["constants"]
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
@@ -73,23 +107,37 @@ def measure_tpu(kernel_impl: str = "pallas", compute_dtype: str | None = None) -
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, loss
 
+    # Compile ONCE via lower/compile: the same executable serves the cost
+    # analysis (model FLOPs for MFU) and the timing loop.
+    flops = None
+    compiled = step.lower(params, opt_state, jax.random.PRNGKey(9)).compile()
+    try:
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     rng = jax.random.PRNGKey(1)
-    for i in range(WARMUP):
+    for _ in range(WARMUP):
         rng, k = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, k)
+        params, opt_state, loss = compiled(params, opt_state, k)
     jax.block_until_ready(loss)
     start = time.perf_counter()
-    for i in range(ITERS):
+    for _ in range(ITERS):
         rng, k = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, k)
+        params, opt_state, loss = compiled(params, opt_state, k)
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - start
+    steps_s = ITERS / elapsed
     print(
-        f"[bench] device={jax.devices()[0]} kernel={kernel_impl} "
-        f"dtype={compute_dtype or 'float32'} {ITERS / elapsed:.2f} steps/s",
+        f"[bench] device={jax.devices()[0]} B={b} N={n} kernel={kernel_impl} "
+        f"dtype={compute_dtype or 'float32'} {steps_s:.2f} steps/s"
+        + (f" ({flops * steps_s / 1e12:.1f} TFLOP/s)" if flops else ""),
         file=sys.stderr,
     )
-    return ITERS / elapsed
+    return steps_s, flops
 
 
 def measure_torch_baseline() -> float:
@@ -137,14 +185,17 @@ def measure_torch_baseline() -> float:
     return steps_per_s
 
 
-def measure_sparse_spmm() -> None:
-    """Side metric: COO SpMM edges/s at ogbn-arxiv scale (stderr only)."""
+def measure_sparse(hbm_bps: float | None) -> tuple[float | None, float | None]:
+    """(actual-nnz edges/s, HBM-roofline fraction) for the sparse path at
+    ogbn-arxiv scale: full fwd+bwd through the aggregation, best of
+    {XLA gather+segment-sum, Pallas blocked-CSR kernel}."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from grl_tpu.data.large_graph import sbm_relational_graph, to_relational_graph
-    from grl_tpu.ops.sparse import relational_aggregate_coo
+    from grl_tpu.ops.pallas.csr_spmm import CSRGraphKernel
+    from grl_tpu.ops.sparse import relational_neighbor_coo
 
     sbm = sbm_relational_graph(
         num_nodes=169_343, num_classes=40, num_relations=1,
@@ -153,43 +204,110 @@ def measure_sparse_spmm() -> None:
     graph, feats = to_relational_graph(sbm)
     V = jnp.asarray(feats)
     E = int(np.asarray(graph.mask).sum())
+    Nn, F = graph.num_nodes, V.shape[-1]
+
+    def timed(fn):
+        jax.block_until_ready(fn(V))
+        start = time.perf_counter()
+        out = None
+        for _ in range(10):
+            out = fn(V)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - start) / 10
 
     @jax.jit
-    def chain(v):
-        def body(_, v):
-            out = relational_aggregate_coo(v, graph)
-            return out[:, : v.shape[1]] * 1e-3 + v
+    def xla_grad(v):
+        return jax.grad(lambda x: relational_neighbor_coo(x, graph).sum())(v)
 
-        return jax.lax.fori_loop(0, 20, body, v)
+    results = {}
+    results["xla segsum"] = timed(xla_grad)
 
-    jax.block_until_ready(chain(V))
-    start = time.perf_counter()
-    jax.block_until_ready(chain(V))
-    dt = (time.perf_counter() - start) / 20
-    print(
-        f"[bench] sparse SpMM (arxiv-scale, {E:,} edges, F=128): "
-        f"{E / dt / 1e9:.2f} B edges/s/chip",
-        file=sys.stderr,
-    )
+    try:
+        kern = CSRGraphKernel(
+            np.asarray(graph.senders), np.asarray(graph.receivers),
+            np.asarray(graph.relations), np.asarray(graph.weights),
+            num_nodes=Nn, num_relations=graph.num_relations, feature_dim=F,
+        )
+
+        @jax.jit
+        def csr_grad(v):
+            return jax.grad(lambda x: kern.neighbor_aggregate(x, 0, 0.0).sum())(v)
+
+        results["pallas csr"] = timed(csr_grad)
+    except Exception as err:
+        print(f"[bench] pallas csr sparse failed: {err}", file=sys.stderr)
+
+    # Minimum HBM traffic for fwd+bwd: read V and the cotangent once each
+    # per row-block sweep (1 block at this scale), write outputs + dV,
+    # read edge metadata twice. The op does ~4 flops/byte — far under the
+    # ~240 flops/byte compute roofline — so HBM fraction is the honest
+    # utilization number for this path.
+    itemsize = V.dtype.itemsize
+    min_bytes = 2 * (itemsize * Nn * F + itemsize * Nn * F + 12 * E)
+    for name, dt in results.items():
+        frac = min_bytes / dt / hbm_bps if hbm_bps else None
+        print(
+            f"[bench] sparse fwd+bwd ({name}, arxiv-scale, {E:,} edges, F={F}): "
+            f"{E / dt / 1e9:.2f} B edges/s/chip"
+            + (f", ~{100 * frac:.0f}% of HBM roofline" if frac else ""),
+            file=sys.stderr,
+        )
+    best = min(results.values())
+    frac = (min_bytes / best / hbm_bps) if hbm_bps else None
+    return E / best, frac
 
 
 def main() -> None:
-    # Best of {fused Pallas, XLA} x {bf16 mixed precision, f32}.
-    tpu_steps = max(
-        measure_tpu("pallas", "bfloat16"),
-        measure_tpu("xla", "bfloat16"),
-        measure_tpu("pallas"),
-        measure_tpu("xla"),
-    )
+    quick = "--quick" in sys.argv  # single-config fast run (ADVICE r1)
+    peak_flops, hbm_bps = detect_peaks()
+
+    configs: dict[str, float] = {}
+    flops_by_cfg: dict[str, float | None] = {}
+    sweep = [("pallas", "bfloat16")] if quick else [
+        ("pallas", "bfloat16"),
+        ("xla", "bfloat16"),
+        ("pallas", None),
+        ("xla", None),
+    ]
+    for impl, dt in sweep:
+        name = f"{impl}+{dt or 'f32'}"
+        configs[name], flops_by_cfg[name] = measure_tpu(impl, dt)
+
+    best_name = max(configs, key=configs.get)
+    tpu_steps = configs[best_name]
+    if not quick and best_name != "pallas+bfloat16":
+        print(
+            f"[bench] WARNING: fastest config is {best_name}, "
+            "not pallas+bfloat16", file=sys.stderr,
+        )
+
+    mfu = None
+    step_flops = flops_by_cfg.get(best_name)
+    if step_flops and peak_flops:
+        mfu = round(step_flops * tpu_steps / peak_flops, 4)
+
+    # Larger-N shape (stderr table only; same metric definition).
+    big = {}
+    if not quick:
+        try:
+            for impl, dt in (("pallas", "bfloat16"), ("xla", "bfloat16")):
+                s, _ = measure_tpu(impl, dt, b=2, n=1024)
+                big[f"{impl}+{dt}"] = round(s * edges_per_step(2, 1024), 1)
+        except Exception as err:
+            print(f"[bench] large-N dense failed: {err}", file=sys.stderr)
+
+    sparse_eps = sparse_frac = None
     try:
-        measure_sparse_spmm()
+        sparse_eps, sparse_frac = measure_sparse(hbm_bps)
     except Exception as err:
-        print(f"[bench] sparse spmm side-metric failed: {err}", file=sys.stderr)
+        print(f"[bench] sparse side-metric failed: {err}", file=sys.stderr)
+
     try:
         baseline_steps = measure_torch_baseline()
     except Exception as err:  # baseline unavailable: report absolute only
         print(f"[bench] baseline measurement failed: {err}", file=sys.stderr)
         baseline_steps = None
+
     value = tpu_steps * edges_per_step()
     vs = round(tpu_steps / baseline_steps, 3) if baseline_steps else None
     print(
@@ -199,6 +317,12 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "edges/s/chip",
                 "vs_baseline": vs,
+                "mfu": mfu,
+                "best_config": best_name,
+                "steps_per_s": {k: round(v, 2) for k, v in configs.items()},
+                "edges_per_s_N1024": big or None,
+                "sparse_edges_per_s": round(sparse_eps, 1) if sparse_eps else None,
+                "sparse_hbm_frac": round(sparse_frac, 3) if sparse_frac else None,
             }
         )
     )

@@ -109,6 +109,16 @@ class GraphConv(nn.Module):
                 w.astype(V.dtype), A.num_relations, A.shard_n, A.axis,
             )
             self_term = V if self_scale is None else V * self_scale[..., None]
+        elif isinstance(A, RelationalGraph) and getattr(A, "kernel", None) is not None:
+            # Pallas blocked-CSR kernel path (CSRAdjacency): DropEdge is
+            # fused in-kernel via a stateless per-edge hash, so EdgeDropout
+            # hands over (seed, rate) instead of a per-edge keep vector.
+            if edge_keep is None:
+                seed, rate = jnp.zeros((), jnp.int32), 0.0
+            else:
+                seed, rate = edge_keep
+            neigh = A.kernel.neighbor_aggregate(V, seed, rate)
+            self_term = V if self_scale is None else V * self_scale[..., None]
         elif isinstance(A, RelationalGraph):
             neigh = relational_neighbor_coo(V, A, edge_keep)
             self_term = V if self_scale is None else V * self_scale[..., None]
@@ -146,6 +156,19 @@ class EdgeDropout(nn.Module):
         if deterministic or self.rate <= 0.0:
             return (A, None) if not isinstance(A, SparseAdjacency) else (None, None)
         key = self.make_rng("dropout")
+        if isinstance(A, RelationalGraph) and getattr(A, "kernel", None) is not None:
+            # CSRAdjacency: the per-edge mask is regenerated inside the
+            # Pallas kernel from (seed, global edge id); only the self-loop
+            # mask (dense DropEdge hits the identity block too —
+            # reference: drop_robust_gcn.py:69,76) is drawn here.
+            k_seed, k_self = jax.random.split(key)
+            seed = jax.random.randint(
+                k_seed, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            keep = 1.0 - self.rate
+            self_mask = jax.random.bernoulli(k_self, keep, (A.num_nodes,))
+            self_scale = self_mask.astype(jnp.float32) / keep
+            return (seed, self.rate), self_scale
         if isinstance(A, SparseAdjacency):
             # LocalShardGraph duck-types RelationalGraph here (num_nodes =
             # shard_n); the caller folds the device index into the rng so

@@ -1,0 +1,199 @@
+"""Scatter-free sparse relational aggregation in ELL (padded neighbor
+list) form — the TPU-native answer to the reference's sparse aggregation
+(reference math: gnn/models/networks/robust_gcn.py:45-47 and its DropEdge
+variant drop_robust_gcn.py:76-85).
+
+Why ELL beats both scatter-based sparse paths on TPU
+----------------------------------------------------
+``segment_sum`` (and the backward of ``jnp.take``) lowers to an XLA
+scatter-add, which the TPU backend serializes on duplicate indices — the
+measured arxiv-scale fwd+bwd sits at ~2% of the HBM roofline.  The TPU's
+*gather* emitter, by contrast, streams full 128-lane rows near memory
+speed.  So we plan BOTH directions of the op as gathers at graph-build
+time (the graph is static — the framework's bucketed-static-shape
+contract):
+
+* **forward**: for every output row ``r = node*L + rel`` a padded list of
+  sender rows into ``V`` — ``out[r] = sum_k w[r,k] * V[idx[r,k]]``;
+* **backward**: for every *sender* node a padded list of output rows into
+  the cotangent ``g`` — ``dV[s] = sum_k w'[s,k] * g[idx'[s,k]]``.
+
+Neither direction contains a scatter; both are (gather → weighted
+reduce) chains XLA fuses into a single streamed pass.  Rows are bucketed
+by degree (widths grow geometrically from ``width_quantum``) so hub nodes
+do not inflate the padding of the long tail; bucket results are stitched
+with one inverse-permutation gather.
+
+**DropEdge fuses for free**: each table entry carries its global edge id,
+and the keep/rescale mask is a stateless murmur-style hash of
+``(edge id, seed)`` (:func:`grl_tpu.ops.pallas.csr_spmm._hash_keep`) —
+recomputed identically in the forward and backward walks, so no mask
+tensor is ever materialized in HBM.
+
+Padding entries carry ``w == 0`` and gather row 0, so they are inert
+without a sacrificial feature row.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grl_tpu.ops.pallas.csr_spmm import _hash_keep
+
+
+class _Bucket(NamedTuple):
+    idx: jnp.ndarray  # (rows, W) int32 — gather rows
+    weight: jnp.ndarray  # (rows, W) float32 — 0 for padding entries
+    gid: jnp.ndarray  # (rows, W) int32 — global edge ids (DropEdge hash)
+
+
+def _build_tables(
+    out_row: np.ndarray,
+    src_row: np.ndarray,
+    weights: np.ndarray,
+    gids: np.ndarray,
+    num_out_rows: int,
+    width_quantum: int,
+    bucket_growth: int,
+) -> tuple[List[_Bucket], jnp.ndarray]:
+    """Plan one gather direction: per-out-row padded lists, degree-bucketed.
+
+    Returns the buckets (rows sorted by degree bucket) and the inverse
+    permutation mapping bucket-concatenated rows back to ``out_row`` order.
+    Zero-degree rows land in the narrowest bucket as all-padding rows.
+    """
+    order = np.argsort(out_row, kind="stable")
+    out_s, src_s, w_s, g_s = (
+        out_row[order], src_row[order], weights[order], gids[order])
+    counts = np.bincount(out_s, minlength=num_out_rows)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    max_deg = int(counts.max()) if len(counts) else 0
+    widths = [width_quantum]
+    while widths[-1] < max(max_deg, 1):
+        widths.append(widths[-1] * bucket_growth)
+    bucket_of = np.searchsorted(np.asarray(widths), counts)
+
+    buckets: List[_Bucket] = []
+    perm_parts = []
+    for bi, W in enumerate(widths):
+        rows = np.nonzero(bucket_of == bi)[0]
+        if len(rows) == 0 and bi > 0:
+            continue
+        idx = np.zeros((len(rows), W), np.int32)
+        wgt = np.zeros((len(rows), W), np.float32)
+        gid = np.zeros((len(rows), W), np.int32)
+        for j, r in enumerate(rows):
+            a, b = starts[r], starts[r + 1]
+            k = b - a
+            idx[j, :k] = src_s[a:b]
+            wgt[j, :k] = w_s[a:b]
+            gid[j, :k] = g_s[a:b]
+        buckets.append(_Bucket(jnp.asarray(idx), jnp.asarray(wgt),
+                               jnp.asarray(gid)))
+        perm_parts.append(rows)
+    perm = np.concatenate(perm_parts) if perm_parts else np.zeros(0, np.int64)
+    inv_perm = np.argsort(perm)
+    return buckets, jnp.asarray(inv_perm.astype(np.int32))
+
+
+def _gather_reduce(Vp, bucket: _Bucket, seed, rate: float) -> jnp.ndarray:
+    """(rows, F) = sum_k w[.,k] (*mask) * Vp[idx[.,k]] — f32 accumulate."""
+    w = bucket.weight
+    if rate > 0.0:
+        w = w * _hash_keep(bucket.gid, seed, rate)
+    msg = jnp.take(Vp, bucket.idx, axis=0).astype(jnp.float32)  # (rows,W,F)
+    return jnp.einsum("rw,rwf->rf", w, msg)
+
+
+class ELLGraphKernel:
+    """A static graph planned as dual degree-bucketed ELL gather tables.
+
+    Drop-in for :class:`grl_tpu.ops.pallas.csr_spmm.CSRGraphKernel`
+    (same ``neighbor_aggregate(V, seed, rate)`` surface, same fused
+    stateless-hash DropEdge), built once per graph on the host.
+    """
+
+    def __init__(
+        self,
+        senders: np.ndarray,
+        receivers: np.ndarray,
+        relations: np.ndarray,
+        weights: np.ndarray,
+        num_nodes: int,
+        num_relations: int,
+        width_quantum: int = 8,
+        bucket_growth: int = 4,
+        **_ignored,  # planner kwargs shared with CSRGraphKernel
+    ):
+        senders = np.asarray(senders, np.int64)
+        receivers = np.asarray(receivers, np.int64)
+        relations = np.asarray(relations, np.int64)
+        weights = np.asarray(weights, np.float32)
+        keep = weights != 0.0  # drop padding / masked edges at plan time
+        gids = np.arange(len(senders), dtype=np.int64)[keep]
+        senders, receivers = senders[keep], receivers[keep]
+        relations, weights = relations[keep], weights[keep]
+
+        self.num_nodes = int(num_nodes)
+        self.L = int(num_relations)
+        R = self.num_nodes * self.L
+
+        # forward: out row (node*L + rel) gathers sender rows of V.
+        self._fwd, self._fwd_inv = _build_tables(
+            out_row=(receivers * self.L + relations).astype(np.int64),
+            src_row=senders, weights=weights, gids=gids,
+            num_out_rows=R, width_quantum=width_quantum,
+            bucket_growth=bucket_growth,
+        )
+        # backward: sender row gathers cotangent rows (node*L + rel).
+        self._bwd, self._bwd_inv = _build_tables(
+            out_row=senders,
+            src_row=(receivers * self.L + relations).astype(np.int64),
+            weights=weights, gids=gids,
+            num_out_rows=self.num_nodes, width_quantum=width_quantum,
+            bucket_growth=bucket_growth,
+        )
+
+        L, num_nodes_ = self.L, self.num_nodes
+        fwd, fwd_inv = self._fwd, self._fwd_inv
+        bwd, bwd_inv = self._bwd, self._bwd_inv
+
+        @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+        def aggregate(V, seed, rate):
+            parts = [_gather_reduce(V, b, seed, rate) for b in fwd]
+            out = jnp.take(jnp.concatenate(parts, axis=0), fwd_inv, axis=0)
+            return out.reshape(num_nodes_, L * V.shape[-1]).astype(V.dtype)
+
+        def fwd_fn(V, seed, rate):
+            return aggregate(V, seed, rate), (V, seed)
+
+        def bwd_fn(rate, residuals, g):
+            V, seed = residuals
+            F = V.shape[-1]
+            g2 = g.reshape(num_nodes_ * L, F)
+            parts = [_gather_reduce(g2, b, seed, rate) for b in bwd]
+            dV = jnp.take(jnp.concatenate(parts, axis=0), bwd_inv, axis=0)
+            dV = dV.astype(V.dtype)
+            if V.shape[0] > num_nodes_:
+                dV = jnp.pad(dV, ((0, V.shape[0] - num_nodes_), (0, 0)))
+            d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+            return dV, d_seed
+
+        aggregate.defvjp(fwd_fn, bwd_fn)
+        self._aggregate = aggregate
+
+    def pad_features(self, V: jnp.ndarray) -> jnp.ndarray:
+        return V  # padding entries gather row 0 with weight 0 — inert
+
+    def neighbor_aggregate(
+        self, V: jnp.ndarray, seed=0, rate: float = 0.0
+    ) -> jnp.ndarray:
+        """``(num_nodes, L*F)`` neighbor aggregation, optionally DropEdge'd
+        with the fused per-edge hash mask. Differentiable w.r.t. ``V``;
+        ``seed`` may be traced, ``rate`` must be static."""
+        return self._aggregate(V, jnp.asarray(seed), float(rate))

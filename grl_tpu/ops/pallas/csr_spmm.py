@@ -433,5 +433,65 @@ class CSRGraphKernel:
         self, V: jnp.ndarray, seed=0, rate: float = 0.0
     ) -> jnp.ndarray:
         """``(num_nodes, L*F)`` neighbor aggregation (optionally DropEdge'd
-        with the fused per-edge hash mask). Differentiable w.r.t. ``V``."""
+        with the fused per-edge hash mask). Differentiable w.r.t. ``V``.
+        ``seed`` may be a traced int32 scalar; ``rate`` must be static."""
         return self._aggregate(self.pad_features(V), jnp.asarray(seed), float(rate))
+
+
+try:  # pragma: no cover - import cycle guard for standalone kernel use
+    from grl_tpu.ops.sparse import RelationalGraph as _RelationalGraph
+except ImportError:  # pragma: no cover
+    _RelationalGraph = None
+
+
+if _RelationalGraph is not None:
+    import flax.struct
+
+    @flax.struct.dataclass
+    class CSRAdjacency(_RelationalGraph):
+        """A :class:`RelationalGraph` bound to a planned Pallas CSR kernel.
+
+        Duck-types as a RelationalGraph everywhere (SparseNodeSelfAtten,
+        metrics, edge counting) while GraphConv routes the neighbor
+        aggregation through :class:`CSRGraphKernel` — DropEdge fuses into
+        the kernel via the stateless per-edge hash, so the config-level
+        ``kernel_impl: pallas`` flag covers the sparse path too (the
+        SURVEY §2.7 row-1 requirement; reference math:
+        gnn/models/networks/robust_gcn.py:45-47, drop_robust_gcn.py:76-85).
+        """
+
+        kernel: "CSRGraphKernel" = flax.struct.field(
+            pytree_node=False, default=None
+        )
+
+    def attach_csr_kernel(
+        graph: "_RelationalGraph", feature_dim: int = 256, **plan_kwargs
+    ) -> "CSRAdjacency":
+        """Plan a :class:`CSRGraphKernel` for a static graph (host-side,
+        once) and return a :class:`CSRAdjacency` carrying both the COO
+        arrays and the planned kernel. ``feature_dim`` should be the
+        LARGEST feature width the model aggregates at (the VMEM budgeter
+        sizes blocks so that width still fits)."""
+        kernel = CSRGraphKernel(
+            np.asarray(graph.senders),
+            np.asarray(graph.receivers),
+            np.asarray(graph.relations),
+            np.asarray(
+                graph.weights * graph.mask.astype(graph.weights.dtype)
+            ),
+            num_nodes=graph.num_nodes,
+            num_relations=graph.num_relations,
+            feature_dim=feature_dim,
+            **plan_kwargs,
+        )
+        return CSRAdjacency(
+            senders=graph.senders,
+            receivers=graph.receivers,
+            relations=graph.relations,
+            weights=graph.weights,
+            mask=graph.mask,
+            num_nodes=graph.num_nodes,
+            num_relations=graph.num_relations,
+            batch_shape=graph.batch_shape,
+            kernel=kernel,
+        )

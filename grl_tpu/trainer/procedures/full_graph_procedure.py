@@ -102,6 +102,17 @@ class FullGraphProcedure(BaseProcedure):
             self.val_labels = jnp.asarray(self._val_np)
         else:
             self.graph, features = to_relational_graph(data)
+            if getattr(model, "kernel_impl", "xla") == "pallas":
+                # Config-reachable Pallas blocked-CSR sparse path: the same
+                # `kernel_impl: pallas` model arg that picks the fused dense
+                # kernel plans a CSRGraphKernel for the static graph here
+                # (host-side, once) — SURVEY §2.7 row 1.
+                from grl_tpu.ops.pallas.csr_spmm import attach_csr_kernel
+
+                self.graph = attach_csr_kernel(
+                    self.graph,
+                    feature_dim=2 * int(getattr(model, "net_size", 256)),
+                )
             self.features = jnp.asarray(features)
             self.train_labels = jnp.asarray(train_labels)
             self.val_labels = jnp.asarray(val_labels)

@@ -145,3 +145,55 @@ class TestFusedDropEdge:
         a = kern.neighbor_aggregate(jnp.asarray(V), seed=0, rate=0.0)
         b = kern.neighbor_aggregate(jnp.asarray(V), seed=9, rate=0.0)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestModelPathWiring:
+    """CSRAdjacency routes the flagship's sparse GraphConvs through the
+    Pallas kernel (config-reachable via `kernel_impl: pallas` — the
+    FullGraphProcedure plans it at init)."""
+
+    def _sparse_model_and_graph(self, seed=7, N=96, L=2, E=500, F_in=24):
+        from grl_tpu.models import GraphCNNDropEdge, init_model
+
+        senders, receivers, relations, weights, V, graph = random_graph(
+            seed=seed, N=N, L=L, E=E, F=F_in
+        )
+        model = GraphCNNDropEdge(
+            input_dim=F_in, output_dim=5, num_edges=L, net_size=16,
+            use_attention=False, kernel_impl="pallas",
+        )
+        csr = csr_spmm.attach_csr_kernel(
+            graph, feature_dim=32, block_rows=64, chunk_cols=64,
+            edge_quantum=64, unroll=4,
+        )
+        Vj = jnp.asarray(V)
+        variables = init_model(model, jax.random.PRNGKey(0), (Vj, csr), train=False)
+        return model, variables, Vj, graph, csr
+
+    def test_eval_forward_matches_coo_path(self):
+        model, variables, V, graph, csr = self._sparse_model_and_graph()
+        out_csr = model.apply(variables, (V, csr), train=False)
+        out_coo = model.apply(variables, (V, graph), train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_csr), np.asarray(out_coo), rtol=1e-4, atol=1e-4
+        )
+
+    def test_train_step_fused_dropedge_grads(self):
+        model, variables, V, graph, csr = self._sparse_model_and_graph()
+        labels = jnp.asarray(np.random.RandomState(0).randint(0, 5, V.shape[0]))
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params, "constants": variables["constants"]},
+                (V, csr), train=True,
+                rngs={"dropout": jax.random.PRNGKey(42)},
+            )
+            from grl_tpu.trainer.losses import cross_entropy
+
+            return cross_entropy(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
