@@ -60,6 +60,30 @@ def detect_peaks():
     return None, None
 
 
+def retry(fn, attempts=3, backoff_s=15.0, label="config"):
+    """Run ``fn`` with retries on transient TPU-tunnel failures.
+
+    The axon tunnel is documented as transiently flaky (backend-init /
+    remote_compile read errors — see CLAUDE.md); round 2's bench died
+    with rc=1 on one such error at the second config. Each config now
+    retries independently and failures are isolated by the caller.
+    """
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as err:  # noqa: BLE001 — isolate ANY per-config crash
+            last = err
+            print(
+                f"[bench] {label} attempt {attempt + 1}/{attempts} failed: "
+                f"{type(err).__name__}: {err}",
+                file=sys.stderr,
+            )
+            if attempt + 1 < attempts:
+                time.sleep(backoff_s * (attempt + 1))
+    raise last
+
+
 def edges_per_step(b=B, n=N) -> float:
     return 3.0 * b * (L + 1) * n * n
 
@@ -185,15 +209,65 @@ def measure_torch_baseline() -> float:
     return steps_per_s
 
 
-def measure_sparse(hbm_bps: float | None) -> tuple[float | None, float | None]:
-    """(actual-nnz edges/s, HBM-roofline fraction) for the sparse path at
-    ogbn-arxiv scale: full fwd+bwd through the aggregation, best of
-    {XLA gather+segment-sum, Pallas blocked-CSR kernel}."""
+def chained_time(fn, *args, iters: int = 20, warmup: int = 2) -> float:
+    """Honest seconds/iteration on the tunnel TPU.
+
+    The axon runtime memoizes value-identical dispatches and
+    ``block_until_ready`` alone does not force execution of an
+    unconsumed lazy result — naive repeat-the-same-call timing loops can
+    report physically impossible numbers (measured: a 4096^3 matmul "at"
+    3900 TFLOP/s). Protocol: thread a scalar derived from each output
+    into the next call's inputs (every dispatch has fresh values and a
+    true data dependence) and end with a host fetch. ``fn(*args, s)``
+    must return a non-degenerate scalar (use ``chain_scalar``).
+    """
+    import jax.numpy as jnp
+
+    s = jnp.float32(1.0)
+    for _ in range(warmup):
+        s = fn(*args, s)
+    float(s)
+    start = time.perf_counter()
+    for _ in range(iters):
+        s = fn(*args, s)
+    float(s)  # hard device sync (D2H)
+    return (time.perf_counter() - start) / iters
+
+
+def chain_scalar(x):
+    """Fold an array into a chaotic, non-saturating scalar in [0.5, 1.5).
+
+    ``mean(x*x)`` defeats algebraic collapse (a linear reduction of a
+    gather CAN be rewritten away); ``mod`` keeps the value varying so the
+    runtime's value-memoization never hits; the range keeps chained
+    inputs numerically sane.
+    """
+    import jax.numpy as jnp
+
+    return jnp.mod(jnp.mean(x * x) / 7.77, 1.0) + 0.5
+
+
+def measure_sparse(
+    hbm_bps: float | None,
+) -> tuple[float | None, float | None, str | None, float | None]:
+    """Sparse fwd+bwd aggregation at ogbn-arxiv scale, best of
+    {XLA gather+segment-sum, Pallas blocked-CSR, ELL dual-gather}.
+
+    Returns (actual-nnz edges/s, HBM-roofline fraction, winning impl,
+    gather-roofline fraction). The op is gather-TRANSACTION-bound on TPU
+    (row gathers hit a latency*queue-depth wall at ~0.3-0.4 B rows/s
+    regardless of row width <=512B — measured in-run below), so the
+    honest speed-of-light is ``gather_ceiling / 2`` edges/s (one gathered
+    row per edge per direction, zero padding); ``gather_frac`` reports
+    achieved/that. The byte-based ``hbm_frac`` is kept for continuity
+    but understates an already transaction-bound kernel.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from grl_tpu.data.large_graph import sbm_relational_graph, to_relational_graph
+    from grl_tpu.ops.ell import ELLGraphKernel
     from grl_tpu.ops.pallas.csr_spmm import CSRGraphKernel
     from grl_tpu.ops.sparse import relational_neighbor_coo
 
@@ -206,60 +280,92 @@ def measure_sparse(hbm_bps: float | None) -> tuple[float | None, float | None]:
     E = int(np.asarray(graph.mask).sum())
     Nn, F = graph.num_nodes, V.shape[-1]
 
-    def timed(fn):
-        jax.block_until_ready(fn(V))
-        start = time.perf_counter()
-        out = None
-        for _ in range(10):
-            out = fn(V)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - start) / 10
+    # In-run gather-transaction ceiling: E random row gathers + reduce.
+    probe_idx = jnp.asarray(
+        np.random.RandomState(7).randint(0, Nn, E).astype(np.int32)
+    )
 
     @jax.jit
-    def xla_grad(v):
-        return jax.grad(lambda x: relational_neighbor_coo(x, graph).sum())(v)
+    def gather_probe(v, i, s):
+        return chain_scalar(jnp.take(v * s, i, axis=0))
+
+    gather_rate = E / retry(
+        lambda: chained_time(gather_probe, V, probe_idx),
+        label="gather ceiling probe",
+    )
+    print(
+        f"[bench] measured gather ceiling: {gather_rate / 1e6:.0f} M rows/s "
+        f"-> sparse speed-of-light {gather_rate / 2 / 1e9:.3f} B edges/s "
+        "(fwd+bwd, 1 gathered row per edge per direction)",
+        file=sys.stderr,
+    )
+
+    @jax.jit
+    def xla_grad(v, s):
+        g = jax.grad(
+            lambda x: (relational_neighbor_coo(x, graph) ** 2).sum()
+        )(v * s)
+        return chain_scalar(g)
 
     results = {}
-    results["xla segsum"] = timed(xla_grad)
+    results["xla segsum"] = retry(
+        lambda: chained_time(xla_grad, V), label="sparse xla segsum"
+    )
 
-    try:
-        kern = CSRGraphKernel(
+    def run_kernel(cls):
+        kern = cls(
             np.asarray(graph.senders), np.asarray(graph.receivers),
             np.asarray(graph.relations), np.asarray(graph.weights),
             num_nodes=Nn, num_relations=graph.num_relations, feature_dim=F,
         )
 
         @jax.jit
-        def csr_grad(v):
-            return jax.grad(lambda x: kern.neighbor_aggregate(x, 0, 0.0).sum())(v)
+        def kern_grad(v, s):
+            g = jax.grad(
+                lambda x: (kern.neighbor_aggregate(x, 0, 0.0) ** 2).sum()
+            )(v * s)
+            return chain_scalar(g)
 
-        results["pallas csr"] = timed(csr_grad)
-    except Exception as err:
-        print(f"[bench] pallas csr sparse failed: {err}", file=sys.stderr)
+        return chained_time(kern_grad, V)
 
-    # Minimum HBM traffic for fwd+bwd: read V and the cotangent once each
-    # per row-block sweep (1 block at this scale), write outputs + dV,
-    # read edge metadata twice. The op does ~4 flops/byte — far under the
-    # ~240 flops/byte compute roofline — so HBM fraction is the honest
-    # utilization number for this path.
+    for name, cls in (("ell", ELLGraphKernel), ("pallas csr", CSRGraphKernel)):
+        try:
+            results[name] = retry(
+                lambda c=cls: run_kernel(c), label=f"sparse {name}"
+            )
+        except Exception as err:
+            print(f"[bench] {name} sparse failed: {err}", file=sys.stderr)
+
+    # Byte-based floor (kept for cross-round continuity): read V and the
+    # cotangent once each, write out + dV, edge metadata twice.
     itemsize = V.dtype.itemsize
     min_bytes = 2 * (itemsize * Nn * F + itemsize * Nn * F + 12 * E)
+    sol = gather_rate / 2  # transaction-roofline edges/s
     for name, dt in results.items():
         frac = min_bytes / dt / hbm_bps if hbm_bps else None
         print(
             f"[bench] sparse fwd+bwd ({name}, arxiv-scale, {E:,} edges, F={F}): "
-            f"{E / dt / 1e9:.2f} B edges/s/chip"
-            + (f", ~{100 * frac:.0f}% of HBM roofline" if frac else ""),
+            f"{E / dt / 1e9:.3f} B edges/s/chip, "
+            f"{100 * E / dt / sol:.0f}% of gather roofline"
+            + (f", ~{100 * frac:.0f}% of HBM-byte floor" if frac else ""),
             file=sys.stderr,
         )
-    best = min(results.values())
+    best_name = min(results, key=results.get)
+    best = results[best_name]
     frac = (min_bytes / best / hbm_bps) if hbm_bps else None
-    return E / best, frac
+    return E / best, frac, best_name, E / best / sol
 
 
 def main() -> None:
     quick = "--quick" in sys.argv  # single-config fast run (ADVICE r1)
-    peak_flops, hbm_bps = detect_peaks()
+    failed: list[str] = []
+
+    try:
+        peak_flops, hbm_bps = retry(detect_peaks, label="device detect")
+    except Exception as err:
+        print(f"[bench] device detect failed: {err}", file=sys.stderr)
+        peak_flops = hbm_bps = None
+        failed.append("device_detect")
 
     configs: dict[str, float] = {}
     flops_by_cfg: dict[str, float | None] = {}
@@ -271,50 +377,68 @@ def main() -> None:
     ]
     for impl, dt in sweep:
         name = f"{impl}+{dt or 'f32'}"
-        configs[name], flops_by_cfg[name] = measure_tpu(impl, dt)
+        try:
+            configs[name], flops_by_cfg[name] = retry(
+                lambda i=impl, d=dt: measure_tpu(i, d), label=f"dense {name}"
+            )
+        except Exception as err:
+            print(f"[bench] dense {name} failed: {err}", file=sys.stderr)
+            failed.append(f"dense:{name}")
 
-    best_name = max(configs, key=configs.get)
-    tpu_steps = configs[best_name]
-    if not quick and best_name != "pallas+bfloat16":
+    best_name = max(configs, key=configs.get) if configs else None
+    tpu_steps = configs.get(best_name)
+    if not quick and configs and best_name != "pallas+bfloat16":
         print(
             f"[bench] WARNING: fastest config is {best_name}, "
             "not pallas+bfloat16", file=sys.stderr,
         )
 
     mfu = None
-    step_flops = flops_by_cfg.get(best_name)
-    if step_flops and peak_flops:
+    step_flops = flops_by_cfg.get(best_name) if best_name else None
+    if step_flops and peak_flops and tpu_steps:
         mfu = round(step_flops * tpu_steps / peak_flops, 4)
 
     # Larger-N shape (stderr table only; same metric definition).
     big = {}
     if not quick:
-        try:
-            for impl, dt in (("pallas", "bfloat16"), ("xla", "bfloat16")):
-                s, _ = measure_tpu(impl, dt, b=2, n=1024)
+        for impl, dt in (("pallas", "bfloat16"), ("xla", "bfloat16")):
+            try:
+                s, _ = retry(
+                    lambda i=impl, d=dt: measure_tpu(i, d, b=2, n=1024),
+                    label=f"large-N {impl}+{dt}",
+                )
                 big[f"{impl}+{dt}"] = round(s * edges_per_step(2, 1024), 1)
-        except Exception as err:
-            print(f"[bench] large-N dense failed: {err}", file=sys.stderr)
+            except Exception as err:
+                print(f"[bench] large-N dense failed: {err}", file=sys.stderr)
+                failed.append(f"large_n:{impl}+{dt}")
 
-    sparse_eps = sparse_frac = None
+    sparse_eps = sparse_frac = sparse_impl = sparse_gather_frac = None
     try:
-        sparse_eps, sparse_frac = measure_sparse(hbm_bps)
+        sparse_eps, sparse_frac, sparse_impl, sparse_gather_frac = (
+            measure_sparse(hbm_bps)
+        )
     except Exception as err:
         print(f"[bench] sparse side-metric failed: {err}", file=sys.stderr)
+        failed.append("sparse")
 
     try:
         baseline_steps = measure_torch_baseline()
     except Exception as err:  # baseline unavailable: report absolute only
         print(f"[bench] baseline measurement failed: {err}", file=sys.stderr)
         baseline_steps = None
+        failed.append("torch_baseline")
 
-    value = tpu_steps * edges_per_step()
-    vs = round(tpu_steps / baseline_steps, 3) if baseline_steps else None
+    value = tpu_steps * edges_per_step() if tpu_steps else None
+    vs = (
+        round(tpu_steps / baseline_steps, 3)
+        if tpu_steps and baseline_steps
+        else None
+    )
     print(
         json.dumps(
             {
                 "metric": "dropedge_train_edge_throughput",
-                "value": round(value, 1),
+                "value": round(value, 1) if value else None,
                 "unit": "edges/s/chip",
                 "vs_baseline": vs,
                 "mfu": mfu,
@@ -323,6 +447,11 @@ def main() -> None:
                 "edges_per_s_N1024": big or None,
                 "sparse_edges_per_s": round(sparse_eps, 1) if sparse_eps else None,
                 "sparse_hbm_frac": round(sparse_frac, 3) if sparse_frac else None,
+                "sparse_gather_frac": round(sparse_gather_frac, 3)
+                if sparse_gather_frac
+                else None,
+                "sparse_impl": sparse_impl,
+                "failed_configs": failed or None,
             }
         )
     )

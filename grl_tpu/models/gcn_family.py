@@ -127,6 +127,18 @@ class GCNTrunk(nn.Module):
         def gcn(name: str, feats: jnp.ndarray, width: int) -> jnp.ndarray:
             conv = GraphConv(width, self.num_edges, dtype=dtype, name=name)
             if sparse:
+                if (
+                    self.kernel_impl != "xla"
+                    and isinstance(A, RelationalGraph)
+                    and getattr(A, "kernel", None) is None
+                ):
+                    raise ValueError(
+                        f"kernel_impl={self.kernel_impl!r} on a sparse "
+                        "RelationalGraph with no planned kernel: attach one "
+                        "with grl_tpu.ops.kernels.attach_kernel (static "
+                        "graphs / FullGraphProcedure do this automatically) "
+                        "or set kernel_impl='xla' for per-batch COO graphs."
+                    )
                 edge_keep, self_scale = edge_dropout(A, det)
                 out = conv(feats, A, self_scale, edge_keep)
             elif self.kernel_impl == "pallas":

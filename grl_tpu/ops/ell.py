@@ -78,36 +78,72 @@ def _build_tables(
         widths.append(widths[-1] * bucket_growth)
     bucket_of = np.searchsorted(np.asarray(widths), counts)
 
+    # Fully vectorized table fill (a per-row Python loop here cost ~200s
+    # at ogbn-arxiv scale): every edge lands at table cell
+    # (rank of its out-row within its bucket, position within its row).
+    slot = np.arange(len(out_s), dtype=np.int64) - starts[out_s]
+    rows_by_bucket = np.argsort(bucket_of, kind="stable")  # row ids
+    bucket_counts = np.bincount(bucket_of, minlength=len(widths))
+    bucket_starts = np.concatenate([[0], np.cumsum(bucket_counts)])
+    rank_in_bucket = np.empty(num_out_rows, np.int64)
+    rank_in_bucket[rows_by_bucket] = (
+        np.arange(num_out_rows) - bucket_starts[bucket_of[rows_by_bucket]]
+    )
+    edge_bucket = bucket_of[out_s]
+
     buckets: List[_Bucket] = []
     perm_parts = []
     for bi, W in enumerate(widths):
-        rows = np.nonzero(bucket_of == bi)[0]
-        if len(rows) == 0 and bi > 0:
+        n_rows = int(bucket_counts[bi])
+        if n_rows == 0 and bi > 0:
             continue
-        idx = np.zeros((len(rows), W), np.int32)
-        wgt = np.zeros((len(rows), W), np.float32)
-        gid = np.zeros((len(rows), W), np.int32)
-        for j, r in enumerate(rows):
-            a, b = starts[r], starts[r + 1]
-            k = b - a
-            idx[j, :k] = src_s[a:b]
-            wgt[j, :k] = w_s[a:b]
-            gid[j, :k] = g_s[a:b]
+        idx = np.zeros((n_rows, W), np.int32)
+        wgt = np.zeros((n_rows, W), np.float32)
+        gid = np.zeros((n_rows, W), np.int32)
+        sel = edge_bucket == bi
+        jj = rank_in_bucket[out_s[sel]]
+        kk = slot[sel]
+        idx[jj, kk] = src_s[sel]
+        wgt[jj, kk] = w_s[sel]
+        gid[jj, kk] = g_s[sel]
         buckets.append(_Bucket(jnp.asarray(idx), jnp.asarray(wgt),
                                jnp.asarray(gid)))
-        perm_parts.append(rows)
+        perm_parts.append(
+            rows_by_bucket[bucket_starts[bi]:bucket_starts[bi] + n_rows]
+        )
     perm = np.concatenate(perm_parts) if perm_parts else np.zeros(0, np.int64)
     inv_perm = np.argsort(perm)
     return buckets, jnp.asarray(inv_perm.astype(np.int32))
 
 
 def _gather_reduce(Vp, bucket: _Bucket, seed, rate: float) -> jnp.ndarray:
-    """(rows, F) = sum_k w[.,k] (*mask) * Vp[idx[.,k]] — f32 accumulate."""
+    """(rows, F) = sum_k w[.,k] (*mask) * Vp[idx[.,k]] — f32 accumulate.
+
+    Unrolled as W separate (gather -> fma) terms instead of one
+    ``einsum("rw,rwf->rf")``: XLA fuses each row-gather into the
+    elementwise multiply-add chain, so the ``(rows, W, F)`` gathered
+    tensor never materializes in HBM (measured ~25% faster at W=8 and
+    strictly less HBM pressure). The op stays gather-TRANSACTION-bound
+    either way — see docs/model-performance.md for the measured
+    ~0.3-0.4 B rows/s gather ceiling that sets this kernel's roofline.
+    """
     w = bucket.weight
     if rate > 0.0:
         w = w * _hash_keep(bucket.gid, seed, rate)
-    msg = jnp.take(Vp, bucket.idx, axis=0).astype(jnp.float32)  # (rows,W,F)
-    return jnp.einsum("rw,rwf->rf", w, msg)
+    W = bucket.idx.shape[1]
+    if W > 32:
+        # Hub buckets (few rows, wide): the einsum form keeps the compiled
+        # program small; the (rows, W, F) intermediate is tiny here.
+        msg = jnp.take(Vp, bucket.idx, axis=0).astype(jnp.float32)
+        return jnp.einsum("rw,rwf->rf", w, msg)
+    out = None
+    for k in range(W):
+        term = (
+            jnp.take(Vp, bucket.idx[:, k], axis=0).astype(jnp.float32)
+            * w[:, k : k + 1]
+        )
+        out = term if out is None else out + term
+    return out
 
 
 class ELLGraphKernel:
@@ -126,8 +162,8 @@ class ELLGraphKernel:
         weights: np.ndarray,
         num_nodes: int,
         num_relations: int,
-        width_quantum: int = 8,
-        bucket_growth: int = 4,
+        width_quantum: int = 4,
+        bucket_growth: int = 2,
         **_ignored,  # planner kwargs shared with CSRGraphKernel
     ):
         senders = np.asarray(senders, np.int64)

@@ -102,15 +102,18 @@ class FullGraphProcedure(BaseProcedure):
             self.val_labels = jnp.asarray(self._val_np)
         else:
             self.graph, features = to_relational_graph(data)
-            if getattr(model, "kernel_impl", "xla") == "pallas":
-                # Config-reachable Pallas blocked-CSR sparse path: the same
-                # `kernel_impl: pallas` model arg that picks the fused dense
-                # kernel plans a CSRGraphKernel for the static graph here
-                # (host-side, once) — SURVEY §2.7 row 1.
-                from grl_tpu.ops.pallas.csr_spmm import attach_csr_kernel
+            impl = getattr(model, "kernel_impl", "xla")
+            if impl != "xla":
+                # Config-reachable TPU sparse path: the same `kernel_impl`
+                # model arg that picks the fused dense kernel plans a sparse
+                # kernel for the static graph here (host-side, once) —
+                # SURVEY §2.7 row 1. "pallas"/"ell" select the scatter-free
+                # ELL dual-gather tables (the fast path); "pallas_csr" the
+                # blocked-CSR Pallas kernel.
+                from grl_tpu.ops.kernels import attach_kernel
 
-                self.graph = attach_csr_kernel(
-                    self.graph,
+                self.graph = attach_kernel(
+                    self.graph, impl=impl,
                     feature_dim=2 * int(getattr(model, "net_size", 256)),
                 )
             self.features = jnp.asarray(features)

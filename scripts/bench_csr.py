@@ -40,6 +40,7 @@ def main() -> None:
     import numpy as np
 
     from grl_tpu.data.large_graph import sbm_relational_graph, to_relational_graph
+    from grl_tpu.ops.ell import ELLGraphKernel
     from grl_tpu.ops.pallas.csr_spmm import CSRGraphKernel
     from grl_tpu.ops.sparse import relational_neighbor_coo
 
@@ -53,36 +54,65 @@ def main() -> None:
     N, F, L = graph.num_nodes, V.shape[-1], graph.num_relations
     print(f"[csr-bench] device={jax.devices()[0]} N={N:,} E={E:,} F={F} L={L}")
 
-    kern = CSRGraphKernel(
+    csr = CSRGraphKernel(
         np.asarray(graph.senders), np.asarray(graph.receivers),
         np.asarray(graph.relations), np.asarray(graph.weights),
         num_nodes=N, num_relations=L, feature_dim=F,
     )
-    lay = kern._fwd
+    lay = csr._fwd
     print(
-        f"[csr-bench] layout: blocks={lay.n_blocks} chunks={lay.n_chunks} "
+        f"[csr-bench] csr layout: blocks={lay.n_blocks} chunks={lay.n_chunks} "
         f"per_cell={lay.meta.shape[-1]} block_rows={lay.block_rows} "
         f"chunk_cols={lay.chunk_cols} "
         f"padded_edges={lay.n_blocks * lay.n_chunks * lay.meta.shape[-1]:,}"
     )
+    ell = ELLGraphKernel(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.relations), np.asarray(graph.weights),
+        num_nodes=N, num_relations=L,
+    )
+    ell_pad = sum(int(np.prod(b.idx.shape)) for b in ell._fwd)
+    print(
+        f"[csr-bench] ell layout: fwd buckets="
+        f"{[tuple(b.idx.shape) for b in ell._fwd]} "
+        f"padded_edges={ell_pad:,} ({ell_pad / max(E, 1):.2f}x nnz)"
+    )
+
+    from bench import chain_scalar, chained_time
 
     def timed(fn, *a):
-        out = jax.block_until_ready(fn(*a))
-        start = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(*a)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - start) / args.iters
+        return chained_time(fn, *a, iters=args.iters)
 
     rate = args.dropedge
 
+    # Honest tunnel-TPU timing (see bench.chained_time): every dispatch
+    # varies in value and the loop ends with a host fetch — naive
+    # repeat-same-call loops hit the runtime's value-memoization.
     @jax.jit
-    def xla_fwd(v):
-        return relational_neighbor_coo(v, graph)
+    def xla_fwd(v, s):
+        return chain_scalar(relational_neighbor_coo(v * s, graph))
 
     @jax.jit
-    def csr_fwd(v):
-        return kern.neighbor_aggregate(v, 0, rate)
+    def csr_fwd(v, s):
+        return chain_scalar(csr.neighbor_aggregate(v * s, 0, rate))
+
+    @jax.jit
+    def ell_fwd(v, s):
+        return chain_scalar(ell.neighbor_aggregate(v * s, 0, rate))
+
+    # In-run gather-transaction ceiling (the true roofline for this op).
+    probe_idx = jnp.asarray(
+        np.random.RandomState(7).randint(0, N, E).astype(np.int32)
+    )
+
+    @jax.jit
+    def gather_probe(v, s):
+        return chain_scalar(jnp.take(v * s, probe_idx, axis=0))
+
+    grate = E / timed(gather_probe, V)
+    print(
+        f"[csr-bench] measured gather ceiling: {grate / 1e6:.0f} M rows/s"
+    )
 
     # Bandwidth model (forward): read V once per row-block sweep, write the
     # (N, L*F) output once, read edge metadata once.
@@ -96,32 +126,49 @@ def main() -> None:
         + 2 * 4 * E * F  # (E,F) f32 message tensor write+read
         + 4 * N * L * F  # scatter output
     )
+    # ELL path: gather one V row per padded table entry, write output once.
+    ell_bytes = V.dtype.itemsize * ell_pad * F + out_bytes + 8 * ell_pad
 
     for name, fn, nbytes in (("xla segsum", xla_fwd, xla_bytes),
-                             ("pallas csr", csr_fwd, csr_bytes)):
+                             ("pallas csr", csr_fwd, csr_bytes),
+                             ("ell", ell_fwd, ell_bytes)):
         dt = timed(fn, V)
         frac = nbytes / dt / (args.hbm_gbps * 1e9)
         print(
             f"[csr-bench] {name:11s} fwd: {dt * 1e3:8.3f} ms  "
-            f"{E / dt / 1e9:6.2f} B edges/s  ~{100 * frac:5.1f}% HBM roofline"
+            f"{E / dt / 1e9:6.3f} B edges/s  {100 * E / dt / grate:5.1f}% of "
+            f"gather ceiling  ~{100 * frac:5.1f}% HBM-byte model"
         )
 
     if args.grad:
         @jax.jit
-        def xla_grad(v):
-            return jax.grad(lambda x: relational_neighbor_coo(x, graph).sum())(v)
+        def xla_grad(v, s):
+            g = jax.grad(
+                lambda x: (relational_neighbor_coo(x, graph) ** 2).sum()
+            )(v * s)
+            return chain_scalar(g)
 
         @jax.jit
-        def csr_grad(v):
-            return jax.grad(
-                lambda x: kern.neighbor_aggregate(x, 0, rate).sum()
-            )(v)
+        def csr_grad(v, s):
+            g = jax.grad(
+                lambda x: (csr.neighbor_aggregate(x, 0, rate) ** 2).sum()
+            )(v * s)
+            return chain_scalar(g)
 
-        for name, fn in (("xla segsum", xla_grad), ("pallas csr", csr_grad)):
+        @jax.jit
+        def ell_grad(v, s):
+            g = jax.grad(
+                lambda x: (ell.neighbor_aggregate(x, 0, rate) ** 2).sum()
+            )(v * s)
+            return chain_scalar(g)
+
+        for name, fn in (("xla segsum", xla_grad), ("pallas csr", csr_grad),
+                         ("ell", ell_grad)):
             dt = timed(fn, V)
             print(
                 f"[csr-bench] {name:11s} fwd+bwd: {dt * 1e3:8.3f} ms  "
-                f"{2 * E / dt / 1e9:6.2f} B edge-ops/s"
+                f"{E / dt / 1e9:6.3f} B edges/s  "
+                f"{100 * E / dt / (grate / 2):5.1f}% of gather roofline"
             )
 
 

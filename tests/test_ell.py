@@ -163,6 +163,10 @@ class TestFusedDropEdge:
 
         a = run(Vj, jnp.int32(3))
         b = kern.neighbor_aggregate(Vj, seed=3, rate=0.3)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # jit and eager fuse the unrolled gather-fma chain differently;
+        # only float reassociation noise is allowed here.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
         c = run(Vj, jnp.int32(4))
         assert not np.allclose(np.asarray(a), np.asarray(c))
