@@ -35,7 +35,7 @@ sys.path.insert(0, REPO)
 
 B, N, L, F_IN, C, NET = 8, 256, 6, 4369, 53, 256
 DENSITY = 0.03
-WARMUP, ITERS = 5, 20
+WARMUP, ITERS, WINDOWS = 5, 20, 3
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 CONFIG_KEY = f"drop_edge_train_B{B}_N{N}_L{L}_F{F_IN}_C{C}_net{NET}"
 
@@ -148,13 +148,20 @@ def measure_tpu(
         rng, k = jax.random.split(rng)
         params, opt_state, loss = compiled(params, opt_state, k)
     jax.block_until_ready(loss)
-    start = time.perf_counter()
-    for _ in range(ITERS):
-        rng, k = jax.random.split(rng)
-        params, opt_state, loss = compiled(params, opt_state, k)
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - start
-    steps_s = ITERS / elapsed
+    # Tunnel TPU timing is noisy (occasional 2-3x slow windows, especially
+    # for the first config after backend init). Time WINDOWS independent
+    # windows and report the best — the standard defence against one-sided
+    # interference noise; the donated params chain keeps every dispatch
+    # value-fresh so no window can be memoized.
+    best_elapsed = float("inf")
+    for _ in range(WINDOWS):
+        start = time.perf_counter()
+        for _ in range(ITERS):
+            rng, k = jax.random.split(rng)
+            params, opt_state, loss = compiled(params, opt_state, k)
+        jax.block_until_ready(loss)
+        best_elapsed = min(best_elapsed, time.perf_counter() - start)
+    steps_s = ITERS / best_elapsed
     print(
         f"[bench] device={jax.devices()[0]} B={b} N={n} kernel={kernel_impl} "
         f"dtype={compute_dtype or 'float32'} {steps_s:.2f} steps/s"
@@ -227,11 +234,14 @@ def chained_time(fn, *args, iters: int = 20, warmup: int = 2) -> float:
     for _ in range(warmup):
         s = fn(*args, s)
     float(s)
-    start = time.perf_counter()
-    for _ in range(iters):
-        s = fn(*args, s)
-    float(s)  # hard device sync (D2H)
-    return (time.perf_counter() - start) / iters
+    best = float("inf")
+    for _ in range(WINDOWS):
+        start = time.perf_counter()
+        for _ in range(iters):
+            s = fn(*args, s)
+        float(s)  # hard device sync (D2H)
+        best = min(best, time.perf_counter() - start)
+    return best / iters
 
 
 def chain_scalar(x):

@@ -8,8 +8,16 @@ local; sender features arrive via a ring of ``ppermute`` block rotations
 overlapped with local gather+segment-sum — the halo exchange rides ICI
 while the previous block's messages accumulate.
 
-Host-side planning (:func:`partition_graph`) buckets edges by receiver
-shard with equal padded per-shard edge counts so the shard_map body is
+Host-side planning (:func:`partition_graph`) buckets edges by
+**(receiver shard, ring step)**: cell ``(d, k)`` holds the edges whose
+receiver lives on shard ``d`` and whose sender lives on shard
+``(d - k) mod D`` — exactly the edges consumable at ring step ``k``,
+when device ``d`` holds the V block that originated on ``(d - k) mod D``.
+Ring step ``k`` therefore touches ONLY slice ``k``: per-device work is
+``sum_k |cell(d, k)|`` ≈ E/D, so total edge work is O(E) independent of
+the device count D (an earlier design masked the full per-shard edge
+list every step — O(D·E) total — which capped scaling efficiency).
+All cells are padded to one common length so the shard_map body is
 static-shape.
 """
 from __future__ import annotations
@@ -25,14 +33,18 @@ P = PartitionSpec
 
 
 class PartitionedGraph(NamedTuple):
-    """Edge lists partitioned by receiver shard.
+    """Edge lists bucketed by (receiver shard, ring step).
 
-    All arrays lead with the device axis ``D``:
-      senders   (D, Es) global sender ids
-      receivers (D, Es) global receiver ids (receiver // shard_n == d)
-      relations (D, Es)
-      weights   (D, Es)
-      mask      (D, Es)
+    All arrays have shape ``(D, D, Ec)``:
+      axis 0 — receiver (owning) shard ``d``
+      axis 1 — ring step ``k``; senders live on shard ``(d - k) mod D``
+      axis 2 — padded edge slot within the cell
+
+      senders   global sender ids (padding: first node of the source shard)
+      receivers global receiver ids (padding: first node of shard ``d``)
+      relations relation ids
+      weights   edge weights (padding: 0 — contributes nothing)
+      mask      validity
     """
 
     senders: jnp.ndarray
@@ -52,40 +64,58 @@ def partition_graph(
     num_nodes: int,
     num_relations: int,
     num_shards: int,
-    edge_quantum: int = 1024,
+    edge_quantum: int = 256,
 ) -> PartitionedGraph:
-    """Bucket edges by receiver shard with equal padded per-shard counts."""
-    shard_n = -(-num_nodes // num_shards)
-    padded_nodes = shard_n * num_shards
-    owner = receivers // shard_n
-    counts = np.bincount(owner, minlength=num_shards)
-    per_shard = int(max(1, counts.max()))
-    per_shard = -(-per_shard // edge_quantum) * edge_quantum
+    """Bucket edges into (receiver shard, ring step) cells with one common
+    padded cell length (vectorized sort-by-cell scatter; no Python loop
+    over shards)."""
+    D = num_shards
+    shard_n = -(-num_nodes // D)
+    padded_nodes = shard_n * D
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    E = len(senders)
 
-    shp = (num_shards, per_shard)
-    out = {
-        "senders": np.zeros(shp, np.int32),
-        "receivers": np.zeros(shp, np.int32),
-        "relations": np.zeros(shp, np.int32),
-        "weights": np.zeros(shp, np.float32),
-        "mask": np.zeros(shp, bool),
-    }
-    for d in range(num_shards):
-        sel = owner == d
-        n = int(sel.sum())
-        out["senders"][d, :n] = senders[sel]
-        # Padding receivers point at the shard's first node; mask kills them.
-        out["receivers"][d, :n] = receivers[sel]
-        out["receivers"][d, n:] = d * shard_n
-        out["relations"][d, :n] = relations[sel]
-        out["weights"][d, :n] = weights[sel]
-        out["mask"][d, :n] = True
+    dst = receivers // shard_n
+    src = senders // shard_n
+    k = (dst - src) % D
+    cell = dst * D + k
+
+    counts = np.bincount(cell, minlength=D * D)
+    Ec = int(max(1, counts.max()))
+    Ec = -(-Ec // edge_quantum) * edge_quantum
+
+    order = np.argsort(cell, kind="stable")
+    cell_sorted = cell[order]
+    starts = np.zeros(D * D, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    flat_pos = cell_sorted * Ec + (np.arange(E) - starts[cell_sorted])
+
+    # Padding defaults: sender = first node of the cell's SOURCE shard
+    # (so the ring-step gather index is in range), receiver = first node
+    # of the cell's destination shard; weight 0 kills the contribution.
+    d_of_cell = np.arange(D * D) // D
+    k_of_cell = np.arange(D * D) % D
+    src_of_cell = (d_of_cell - k_of_cell) % D
+    out_senders = np.repeat(src_of_cell * shard_n, Ec).astype(np.int32)
+    out_receivers = np.repeat(d_of_cell * shard_n, Ec).astype(np.int32)
+    out_relations = np.zeros(D * D * Ec, np.int32)
+    out_weights = np.zeros(D * D * Ec, np.float32)
+    out_mask = np.zeros(D * D * Ec, bool)
+
+    out_senders[flat_pos] = senders[order]
+    out_receivers[flat_pos] = receivers[order]
+    out_relations[flat_pos] = np.asarray(relations)[order]
+    out_weights[flat_pos] = np.asarray(weights)[order]
+    out_mask[flat_pos] = True
+
+    shp = (D, D, Ec)
     return PartitionedGraph(
-        senders=jnp.asarray(out["senders"]),
-        receivers=jnp.asarray(out["receivers"]),
-        relations=jnp.asarray(out["relations"]),
-        weights=jnp.asarray(out["weights"]),
-        mask=jnp.asarray(out["mask"]),
+        senders=jnp.asarray(out_senders.reshape(shp)),
+        receivers=jnp.asarray(out_receivers.reshape(shp)),
+        relations=jnp.asarray(out_relations.reshape(shp)),
+        weights=jnp.asarray(out_weights.reshape(shp)),
+        mask=jnp.asarray(out_mask.reshape(shp)),
         num_nodes=padded_nodes,
         num_relations=num_relations,
     )
@@ -94,15 +124,17 @@ def partition_graph(
 class LocalShardGraph(NamedTuple):
     """Device-local view of a :class:`PartitionedGraph` INSIDE a shard_map
     body — the adjacency type the model family's GraphConv accepts on the
-    partitioned path (the SP-analog of a sequence shard). ``senders`` stay
-    global (the ring rotation resolves them); ``receivers_local`` are
-    block-local output rows; ``weights`` are pre-masked.
+    partitioned path (the SP-analog of a sequence shard). All edge arrays
+    are ``(D, Ec)``: row ``k`` is consumed at ring step ``k``. ``senders``
+    stay global (the body reduces them mod ``shard_n``);
+    ``receivers_local`` are block-local output rows; ``weights`` are
+    pre-masked.
     """
 
-    senders: jnp.ndarray  # (Es,) global sender ids
-    receivers_local: jnp.ndarray  # (Es,) block-local receiver rows
-    relations: jnp.ndarray  # (Es,)
-    weights: jnp.ndarray  # (Es,) mask-multiplied
+    senders: jnp.ndarray  # (D, Ec) global sender ids
+    receivers_local: jnp.ndarray  # (D, Ec) block-local receiver rows
+    relations: jnp.ndarray  # (D, Ec)
+    weights: jnp.ndarray  # (D, Ec) mask-multiplied
     axis: str  # mesh axis the nodes shard over
     shard_n: int  # nodes per device
     num_relations: int
@@ -146,32 +178,40 @@ def _ring_aggregate_body(
     shard_n: int,
     axis: str,
 ) -> jnp.ndarray:
-    """Per-device ring: rotate V blocks, accumulate local messages."""
+    """Per-device ring: rotate V blocks; ring step ``k`` consumes only the
+    ``(Ec,)`` edge slice planned for it (edges from the shard whose block
+    is currently held), so per-device edge work is E/D + padding, not E·D.
+    Edge arrays are ``(D, Ec)`` ring-step-major (see PartitionedGraph).
+    """
     D = jax.lax.axis_size(axis)
-    d = jax.lax.axis_index(axis)
     F = V_block.shape[-1]
     L = num_relations
-    seg = receivers_local * L + relations
     perm = [(i, (i + 1) % D) for i in range(D)]
 
-    def step(k, carry):
+    def step(carry, edge_slice):
         acc, block = carry
-        # The block currently held originated on device (d - k) mod D.
-        src_dev = jax.lax.rem(d - k + D, D)
-        in_block = (senders // shard_n) == src_dev
-        w = jnp.where(in_block, weights, 0.0)
-        msgs = block[senders % shard_n] * w[:, None]
-        acc = acc + jax.ops.segment_sum(msgs, seg, num_segments=shard_n * L)
+        s, rel, r_loc, w = edge_slice
+        msgs = block[s % shard_n] * w[:, None]
+        acc = acc + jax.ops.segment_sum(
+            msgs, r_loc * L + rel, num_segments=shard_n * L
+        )
         # Rotate AFTER consuming: XLA overlaps the collective-permute DMA
         # with the next iteration's gather/segment-sum.
         block = jax.lax.ppermute(block, axis, perm)
-        return acc, block
+        return (acc, block), None
 
     acc0 = jnp.zeros((shard_n * L, F), V_block.dtype)
     # Mark the fresh accumulator as device-varying so the loop carry type
     # matches the varying segment-sum outputs (shard_map vma typing).
-    acc0 = jax.lax.pvary(acc0, (axis,))
-    acc, _ = jax.lax.fori_loop(0, D, step, (acc0, V_block))
+    if hasattr(jax.lax, "pcast"):
+        acc0 = jax.lax.pcast(acc0, axis, to="varying")
+    else:  # older jax
+        acc0 = jax.lax.pvary(acc0, (axis,))
+    (acc, _), _ = jax.lax.scan(
+        step,
+        (acc0, V_block),
+        (senders, relations, receivers_local, weights.astype(V_block.dtype)),
+    )
     return acc.reshape(shard_n, L * F)
 
 
@@ -207,7 +247,7 @@ def partitioned_relational_aggregate(
         return jnp.concatenate([V_block, neigh], axis=-1)
 
     spec_nodes = P(axis, None)
-    spec_edges = P(axis, None)
+    spec_edges = P(axis, None, None)
     return jax.shard_map(
         per_device,
         mesh=mesh,
@@ -223,16 +263,17 @@ def all_gather_relational_aggregate(
     axis: str = "data",
 ) -> jnp.ndarray:
     """Baseline halo strategy: one all_gather of V, then local gather +
-    segment-sum. Simpler, more HBM + ICI traffic; used as the reference
-    implementation in partition parity tests and for small D."""
+    segment-sum over the flattened cell slices. Simpler, more HBM + ICI
+    traffic; used as the reference implementation in partition parity
+    tests and for small D."""
     D = mesh.shape[axis]
     shard_n = graph.num_nodes // D
     L = graph.num_relations
 
     def per_device(V_block, senders, receivers, relations, weights, mask):
-        senders, receivers = senders[0], receivers[0]
-        relations = relations[0]
-        weights = (weights[0] * mask[0]).astype(V_block.dtype)
+        senders, receivers = senders[0].ravel(), receivers[0].ravel()
+        relations = relations[0].ravel()
+        weights = (weights[0] * mask[0]).astype(V_block.dtype).ravel()
         d = jax.lax.axis_index(axis)
         V_full = jax.lax.all_gather(V_block, axis, axis=0).reshape(-1, V_block.shape[-1])
         msgs = V_full[senders] * weights[:, None]
@@ -243,7 +284,7 @@ def all_gather_relational_aggregate(
         )
 
     spec_nodes = P(axis, None)
-    spec_edges = P(axis, None)
+    spec_edges = P(axis, None, None)
     return jax.shard_map(
         per_device,
         mesh=mesh,

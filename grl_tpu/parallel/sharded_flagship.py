@@ -1,8 +1,6 @@
 """Node-partitioned training of the PRODUCT model family (SP analog).
 
-Round 1's partitioned path trained a bespoke functional 2-layer GCN
-(:mod:`grl_tpu.parallel.sharded_gcn`, kept as the minimal didactic
-example); here the real flax networks — GraphCNNDropEdge and friends in
+The real flax networks — GraphCNNDropEdge and friends in
 sparse mode — run under ``shard_map``: nodes/features/labels shard over
 the mesh axis, every GraphConv inside the model does the ring-``ppermute``
 halo aggregation via the :class:`LocalShardGraph` adjacency, DropEdge
@@ -101,7 +99,7 @@ def make_partitioned_model_step(
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, jax.lax.pmean(loss, axis)
 
-    edge = P(axis, None)
+    edge = P(axis, None, None)
     shard_train = jax.shard_map(
         per_device,
         mesh=mesh,

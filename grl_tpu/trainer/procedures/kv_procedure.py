@@ -137,7 +137,9 @@ class KVProcedure(BaseProcedure):
             max_value=1.0,
             warmup_steps=5 * steps_per_epoch,
         )
-        self.tb_writer.add_scalar("RP/Lambda", lam, epoch)
+        # Logged per call (once per step) — index by global_step, not the
+        # epoch, or every step of an epoch lands on the same x value.
+        self.tb_writer.add_scalar("RP/Lambda", lam, self.global_step)
         if self.ems_exp:
             self.ems_exp["RP/Lambda"].append(lam)
         return lam

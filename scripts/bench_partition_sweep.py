@@ -1,0 +1,92 @@
+"""Scaling sweep of the node-partitioned ring aggregation (SP analog).
+
+Fixed SBM graph, shard count D in {1, 2, 4, 8} on the virtual CPU mesh:
+reports (a) the planner's padded edge slots per device — the deterministic
+O(E) evidence: per-device work must shrink ~1/D, NOT stay at E — and
+(b) wall-clock per step of the jitted fwd+bwd partitioned aggregate.
+Virtual CPU devices share the host's cores, so ideal wall-clock is FLAT
+with D (fixed total work, more virtual parallelism on the same silicon);
+growth with D would reproduce the O(D*E) defect this sweep guards against
+(BASELINE configs 4-5: >=80% scaling efficiency).
+
+Usage: python scripts/bench_partition_sweep.py  (CPU only, no TPU needed)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from grl_tpu.data.large_graph import sbm_relational_graph  # noqa: E402
+from grl_tpu.parallel import (  # noqa: E402
+    make_mesh,
+    partition_graph,
+    partitioned_relational_aggregate,
+)
+
+
+def main() -> None:
+    sbm = sbm_relational_graph(
+        num_nodes=16384, num_classes=8, num_relations=3, avg_degree=16,
+        feature_dim=64, seed=0,
+    )
+    E = len(sbm.senders)
+    F = sbm.features.shape[1]
+    rows = []
+    for D in (1, 2, 4, 8):
+        part = partition_graph(
+            sbm.senders, sbm.receivers, sbm.relations, sbm.weights,
+            len(sbm.features), sbm.num_relations, D, edge_quantum=256,
+        )
+        mesh = make_mesh({"data": D}, devices=jax.devices()[:D])
+        V = jnp.asarray(
+            np.pad(sbm.features, ((0, part.num_nodes - len(sbm.features)), (0, 0)))
+        )
+
+        @jax.jit
+        def step(v, part=part, mesh=mesh):
+            return jax.grad(
+                lambda x: (partitioned_relational_aggregate(x, part, mesh) ** 2).sum()
+            )(v)
+
+        step(V).block_until_ready()  # compile
+        iters = 10
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = step(V)
+            out.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        slots = int(part.senders.shape[1] * part.senders.shape[2])
+        rows.append(
+            {
+                "shards": D,
+                "padded_edge_slots_per_device": slots,
+                "work_vs_E": round(slots / E, 3),
+                "step_ms": round(best * 1e3, 2),
+            }
+        )
+        print(
+            f"[sweep] D={D}: {slots} padded edge slots/device "
+            f"({slots / E:.2f}x E), fwd+bwd {best * 1e3:.1f} ms/step",
+            file=sys.stderr,
+        )
+    print(json.dumps({"graph_edges": E, "feature_dim": F, "sweep": rows}))
+
+
+if __name__ == "__main__":
+    main()

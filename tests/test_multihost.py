@@ -74,7 +74,6 @@ WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.timeout(180)
 def test_two_process_sharded_loading_and_collectives(tmp_path):
     import os
 

@@ -63,13 +63,36 @@ class TestPartitionedAggregation:
         np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
 
     def test_partition_plan_covers_all_edges(self):
-        N, L = 64, 6
+        N, L, D = 64, 6, 8
         _, senders, receivers, relations, weights = random_graph(N=N, L=L)
-        part = partition_graph(senders, receivers, relations, weights, N, L, 8)
-        assert int(np.asarray(part.mask).sum()) == len(senders)
-        owner = np.asarray(part.receivers)[np.asarray(part.mask)] // (part.num_nodes // 8)
-        rows = np.repeat(np.arange(8), np.asarray(part.mask).sum(axis=1))
-        np.testing.assert_array_equal(owner, rows)
+        part = partition_graph(senders, receivers, relations, weights, N, L, D)
+        mask = np.asarray(part.mask)  # (D, D, Ec)
+        assert int(mask.sum()) == len(senders)
+        shard_n = part.num_nodes // D
+        # Cell (d, k): receivers on shard d, senders on shard (d - k) % D.
+        d_idx, k_idx, _ = np.indices(mask.shape)
+        np.testing.assert_array_equal(
+            np.asarray(part.receivers)[mask] // shard_n, d_idx[mask]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(part.senders)[mask] // shard_n,
+            (d_idx[mask] - k_idx[mask]) % D,
+        )
+
+    def test_partition_work_is_o_e_not_o_de(self):
+        """Per-device padded edge work must be ~E/D (plus per-cell padding
+        quantum), NOT E — each ring step consumes only its own cell."""
+        N, L, D, E = 4096, 2, 8, 40_000
+        rng = np.random.RandomState(3)
+        senders = rng.randint(0, N, E).astype(np.int32)
+        receivers = rng.randint(0, N, E).astype(np.int32)
+        relations = rng.randint(0, L, E).astype(np.int32)
+        part = partition_graph(
+            senders, receivers, relations, np.ones(E, np.float32), N, L, D,
+            edge_quantum=64,
+        )
+        per_device_slots = part.senders.shape[1] * part.senders.shape[2]
+        assert per_device_slots < 2 * E / D, (per_device_slots, E / D)
 
 
 @needs_multidevice
