@@ -228,14 +228,22 @@ class SparseNodeSelfAtten(nn.Module):
         f_out = LinearReLU(self.features // 8, dtype=self.dtype, name="f")(V)
         g_out = LinearReLU(self.features // 8, dtype=self.dtype, name="g")(V)
         h_out = LinearReLU(self.features, dtype=self.dtype, name="h")(V)
-        send, recv, mask = graph.senders, graph.receivers, graph.mask
-        # SDDMM: scores only on edges (recv attends to send).
-        scores = jnp.sum(f_out[recv] * g_out[send], axis=-1)
-        alpha = segment_softmax(
-            scores.astype(jnp.float32), recv, graph.num_nodes, mask=mask
-        )
-        alpha = maybe_cast(alpha, self.dtype or V.dtype)
-        o = segment_sum(h_out[send] * alpha[:, None], recv, graph.num_nodes)
+        atten_kernel = getattr(graph, "atten_kernel", None)
+        if atten_kernel is not None:
+            # Fused ELL-table path: SDDMM + masked row softmax + weighted
+            # reduce in one Pallas kernel per degree bucket, scatter-free
+            # backward (grl_tpu/ops/pallas/sparse_attention.py). Planned
+            # host-side by attach_kernel(attention=True).
+            o = atten_kernel.attend(f_out, g_out, h_out)
+        else:
+            send, recv, mask = graph.senders, graph.receivers, graph.mask
+            # SDDMM: scores only on edges (recv attends to send).
+            scores = jnp.sum(f_out[recv] * g_out[send], axis=-1)
+            alpha = segment_softmax(
+                scores.astype(jnp.float32), recv, graph.num_nodes, mask=mask
+            )
+            alpha = maybe_cast(alpha, self.dtype or V.dtype)
+            o = segment_sum(h_out[send] * alpha[:, None], recv, graph.num_nodes)
         gamma = self.param(
             "gamma", lambda key, shape: jax.random.normal(key, shape), (self.features,)
         )

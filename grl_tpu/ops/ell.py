@@ -51,6 +51,18 @@ class _Bucket(NamedTuple):
     gid: jnp.ndarray  # (rows, W) int32 — global edge ids (DropEdge hash)
 
 
+class TablePlan(NamedTuple):
+    """One planned gather direction (see :func:`_build_tables`)."""
+
+    buckets: List[_Bucket]
+    inv_perm: jnp.ndarray  # bucket-concatenated row -> out_row order
+    perm: np.ndarray  # out_row ids in bucket-concatenated order
+    edge_flat: np.ndarray  # per input edge: its flat cell index in the
+    #                        raveled concatenation of all bucket tables
+    #                        (sparse attention addresses per-edge values —
+    #                        scores/alphas — through this)
+
+
 def _build_tables(
     out_row: np.ndarray,
     src_row: np.ndarray,
@@ -59,11 +71,12 @@ def _build_tables(
     num_out_rows: int,
     width_quantum: int,
     bucket_growth: int,
-) -> tuple[List[_Bucket], jnp.ndarray]:
+) -> TablePlan:
     """Plan one gather direction: per-out-row padded lists, degree-bucketed.
 
-    Returns the buckets (rows sorted by degree bucket) and the inverse
-    permutation mapping bucket-concatenated rows back to ``out_row`` order.
+    Returns the buckets (rows sorted by degree bucket), the inverse
+    permutation mapping bucket-concatenated rows back to ``out_row`` order,
+    the forward permutation, and each input edge's flat table cell index.
     Zero-degree rows land in the narrowest bucket as all-padding rows.
     """
     order = np.argsort(out_row, kind="stable")
@@ -93,10 +106,14 @@ def _build_tables(
 
     buckets: List[_Bucket] = []
     perm_parts = []
+    ravel_offset = np.zeros(len(widths), np.int64)
+    off = 0
     for bi, W in enumerate(widths):
         n_rows = int(bucket_counts[bi])
         if n_rows == 0 and bi > 0:
             continue
+        ravel_offset[bi] = off
+        off += n_rows * W
         idx = np.zeros((n_rows, W), np.int32)
         wgt = np.zeros((n_rows, W), np.float32)
         gid = np.zeros((n_rows, W), np.int32)
@@ -113,7 +130,17 @@ def _build_tables(
         )
     perm = np.concatenate(perm_parts) if perm_parts else np.zeros(0, np.int64)
     inv_perm = np.argsort(perm)
-    return buckets, jnp.asarray(inv_perm.astype(np.int32))
+    widths_arr = np.asarray(widths, np.int64)
+    flat_sorted = (
+        ravel_offset[edge_bucket]
+        + rank_in_bucket[out_s] * widths_arr[edge_bucket]
+        + slot
+    )
+    edge_flat = np.empty(len(out_s), np.int64)
+    edge_flat[order] = flat_sorted
+    return TablePlan(
+        buckets, jnp.asarray(inv_perm.astype(np.int32)), perm, edge_flat
+    )
 
 
 def _gather_reduce(Vp, bucket: _Bucket, seed, rate: float) -> jnp.ndarray:
@@ -180,20 +207,22 @@ class ELLGraphKernel:
         R = self.num_nodes * self.L
 
         # forward: out row (node*L + rel) gathers sender rows of V.
-        self._fwd, self._fwd_inv = _build_tables(
+        fwd_plan = _build_tables(
             out_row=(receivers * self.L + relations).astype(np.int64),
             src_row=senders, weights=weights, gids=gids,
             num_out_rows=R, width_quantum=width_quantum,
             bucket_growth=bucket_growth,
         )
+        self._fwd, self._fwd_inv = fwd_plan.buckets, fwd_plan.inv_perm
         # backward: sender row gathers cotangent rows (node*L + rel).
-        self._bwd, self._bwd_inv = _build_tables(
+        bwd_plan = _build_tables(
             out_row=senders,
             src_row=(receivers * self.L + relations).astype(np.int64),
             weights=weights, gids=gids,
             num_out_rows=self.num_nodes, width_quantum=width_quantum,
             bucket_growth=bucket_growth,
         )
+        self._bwd, self._bwd_inv = bwd_plan.buckets, bwd_plan.inv_perm
 
         L, num_nodes_ = self.L, self.num_nodes
         fwd, fwd_inv = self._fwd, self._fwd_inv

@@ -47,6 +47,7 @@ def attach_kernel(
     graph: RelationalGraph,
     impl: str = "ell",
     feature_dim: int = 256,
+    attention: bool = False,
     **plan_kwargs,
 ) -> Union[RelationalGraph, KernelAdjacency]:
     """Plan a sparse kernel for a static graph (host-side, once).
@@ -56,25 +57,41 @@ def attach_kernel(
     through. ``impl="xla"`` returns the graph unchanged (segment-sum
     path). ``feature_dim`` should be the largest width the model
     aggregates at (used by the CSR VMEM budgeter; ignored by ELL).
+    ``attention=True`` additionally plans the fused sparse-attention
+    kernel (SDDMM+softmax+SpMM) over the same edge set, which
+    SparseNodeSelfAtten then routes through.
     """
-    if impl == "xla":
+    atten_kernel = None
+    if attention:
+        from grl_tpu.ops.pallas.sparse_attention import SparseAttentionKernel
+
+        mask = np.asarray(graph.mask)
+        atten_kernel = SparseAttentionKernel(
+            np.asarray(graph.senders)[mask],
+            np.asarray(graph.receivers)[mask],
+            num_nodes=graph.num_nodes,
+        )
+    if impl == "xla" and atten_kernel is None:
         return graph
-    if impl not in SPARSE_KERNELS:
+    if impl == "xla":
+        kernel = None
+    elif impl not in SPARSE_KERNELS:
         raise ValueError(
             f"Unknown sparse kernel_impl {impl!r}; "
             f"expected one of: xla, {', '.join(sorted(SPARSE_KERNELS))}"
         )
-    cls = SPARSE_KERNELS[impl]
-    kernel = cls(
-        np.asarray(graph.senders),
-        np.asarray(graph.receivers),
-        np.asarray(graph.relations),
-        np.asarray(graph.weights * graph.mask.astype(graph.weights.dtype)),
-        num_nodes=graph.num_nodes,
-        num_relations=graph.num_relations,
-        feature_dim=feature_dim,
-        **plan_kwargs,
-    )
+    else:
+        cls = SPARSE_KERNELS[impl]
+        kernel = cls(
+            np.asarray(graph.senders),
+            np.asarray(graph.receivers),
+            np.asarray(graph.relations),
+            np.asarray(graph.weights * graph.mask.astype(graph.weights.dtype)),
+            num_nodes=graph.num_nodes,
+            num_relations=graph.num_relations,
+            feature_dim=feature_dim,
+            **plan_kwargs,
+        )
     return KernelAdjacency(
         senders=graph.senders,
         receivers=graph.receivers,
@@ -85,4 +102,5 @@ def attach_kernel(
         num_relations=graph.num_relations,
         batch_shape=graph.batch_shape,
         kernel=kernel,
+        atten_kernel=atten_kernel,
     )

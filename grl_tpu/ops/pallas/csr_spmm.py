@@ -481,6 +481,12 @@ if _RelationalGraph is not None:
         kernel: "CSRGraphKernel" = flax.struct.field(
             pytree_node=False, default=None
         )
+        # Optional fused sparse-attention plan (SDDMM+softmax+SpMM over
+        # the same edge set) — SparseNodeSelfAtten routes through it when
+        # present (grl_tpu/ops/pallas/sparse_attention.py).
+        atten_kernel: object = flax.struct.field(
+            pytree_node=False, default=None
+        )
 
     def attach_csr_kernel(
         graph: "_RelationalGraph", feature_dim: int = 256, **plan_kwargs

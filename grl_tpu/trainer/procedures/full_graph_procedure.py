@@ -103,7 +103,14 @@ class FullGraphProcedure(BaseProcedure):
         else:
             self.graph, features = to_relational_graph(data)
             impl = getattr(model, "kernel_impl", "xla")
-            if impl != "xla":
+            # Plan the fused sparse-attention kernel whenever the model
+            # will run sparse attention on this static graph.
+            plan_atten = bool(
+                getattr(model, "use_attention", False)
+                and getattr(model, "attention_impl", "") == "sparse"
+                and impl != "xla"
+            )
+            if impl != "xla" or plan_atten:
                 # Config-reachable TPU sparse path: the same `kernel_impl`
                 # model arg that picks the fused dense kernel plans a sparse
                 # kernel for the static graph here (host-side, once) —
@@ -115,6 +122,7 @@ class FullGraphProcedure(BaseProcedure):
                 self.graph = attach_kernel(
                     self.graph, impl=impl,
                     feature_dim=2 * int(getattr(model, "net_size", 256)),
+                    attention=plan_atten,
                 )
             self.features = jnp.asarray(features)
             self.train_labels = jnp.asarray(train_labels)
