@@ -283,7 +283,11 @@ class GATV2(nn.Module):
             x, A, train
         )
         x, A = layer_cls(self.no_A, 256, 0.3, name="gat_out")(x, A, train)
-        x = nn.leaky_relu(nn.Dense(self.output_feature, name="mlp")(x), negative_slope=0.01)
+        # The reference builds the mlp activation as nn.LeakyReLU(True)
+        # (gatv2.py:405): the positional True binds to negative_slope, so
+        # the "activation" is slope-1.0 — the identity. Replicated
+        # op-for-op for parity (tests/test_parity_networks.py).
+        x = nn.Dense(self.output_feature, name="mlp")(x)
         return nn.Dense(self.num_classes, name="class_output")(x)
 
     @property
