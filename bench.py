@@ -93,9 +93,18 @@ def measure_tpu(
     compute_dtype: str | None = None,
     b: int = B,
     n: int = N,
+    scan_k: int = 1,
 ) -> tuple[float, float | None]:
     """(steps/s, model FLOPs/step from XLA cost analysis) on the default
-    device for one (kernel, dtype, shape) config of the jitted train step."""
+    device for one (kernel, dtype, shape) config of the jitted train step.
+
+    ``scan_k > 1`` fuses that many optimizer steps into one dispatch via
+    ``lax.scan`` (the FullGraphProcedure ``scan_steps`` product path):
+    per-step dispatch through the TPU tunnel costs ~1.7 ms of host
+    round-trip against a ~1.2 ms device step, so the scanned number is
+    the honest *device* throughput; the per-dispatch number includes the
+    host loop the KVProcedure pays today.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -116,8 +125,7 @@ def measure_tpu(
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rng):
+    def step_body(params, opt_state, rng):
         def loss_fn(p):
             logits = model.apply(
                 {"params": p, "constants": constants},
@@ -131,6 +139,23 @@ def measure_tpu(
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, loss
 
+    if scan_k > 1:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, rng):
+            def body(carry, r):
+                p, o = carry
+                p, o, loss = step_body(p, o, r)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jax.random.split(rng, scan_k)
+            )
+            return params, opt_state, losses[-1]
+
+    else:
+        step = functools.partial(jax.jit, donate_argnums=(0, 1))(step_body)
+
     # Compile ONCE via lower/compile: the same executable serves the cost
     # analysis (model FLOPs for MFU) and the timing loop.
     flops = None
@@ -140,6 +165,12 @@ def measure_tpu(
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         flops = float(analysis.get("flops", 0.0)) or None
+        if flops and scan_k > 1:
+            # XLA cost analysis counts a scan (while-loop) body ONCE, not
+            # per trip — so the reported flops are already ~per-step; do
+            # NOT divide by scan_k. MFU for scanned configs is computed
+            # from the unscanned executable's analysis in main() instead.
+            flops = None
     except Exception:
         pass
 
@@ -161,10 +192,12 @@ def measure_tpu(
             params, opt_state, loss = compiled(params, opt_state, k)
         jax.block_until_ready(loss)
         best_elapsed = min(best_elapsed, time.perf_counter() - start)
-    steps_s = ITERS / best_elapsed
+    steps_s = ITERS * scan_k / best_elapsed
     print(
         f"[bench] device={jax.devices()[0]} B={b} N={n} kernel={kernel_impl} "
-        f"dtype={compute_dtype or 'float32'} {steps_s:.2f} steps/s"
+        f"dtype={compute_dtype or 'float32'}"
+        + (f" scan={scan_k}" if scan_k > 1 else "")
+        + f" {steps_s:.2f} steps/s"
         + (f" ({flops * steps_s / 1e12:.1f} TFLOP/s)" if flops else ""),
         file=sys.stderr,
     )
@@ -403,10 +436,35 @@ def main() -> None:
             "not pallas+bfloat16", file=sys.stderr,
         )
 
+    # Headline: re-measure with scan_steps=10 (the scan_steps fused-
+    # dispatch product path) — per-step dispatch through the tunnel costs
+    # more host round-trip than the device step itself, so the scanned
+    # number is the honest device throughput. The per-dispatch ranking is
+    # dominated by that overhead and does NOT predict the scanned
+    # ranking, so both leading candidates are scanned and the best wins.
+    scanned: dict[str, float] = {}
+    candidates = {best_name} | ({"pallas+bfloat16"} if configs else set())
+    for name in sorted(c for c in candidates if c in configs):
+        impl = name.split("+")[0]
+        dt = None if name.endswith("+f32") else name.split("+")[1]
+        try:
+            scanned[name], _ = retry(
+                lambda i=impl, d=dt: measure_tpu(i, d, scan_k=10),
+                label=f"scanned {name}",
+            )
+        except Exception as err:
+            print(f"[bench] scanned {name} failed: {err}", file=sys.stderr)
+            failed.append(f"scanned:{name}")
+
+    scanned_best = max(scanned, key=scanned.get) if scanned else None
+    scanned_steps = scanned.get(scanned_best)
+    headline_steps = scanned_steps or tpu_steps
     mfu = None
-    step_flops = flops_by_cfg.get(best_name) if best_name else None
-    if step_flops and peak_flops and tpu_steps:
-        mfu = round(step_flops * tpu_steps / peak_flops, 4)
+    # MFU from the unscanned executable's per-step flops (the scanned
+    # executable's cost analysis counts its scan body once — unusable).
+    step_flops = flops_by_cfg.get(scanned_best or best_name) if configs else None
+    if step_flops and peak_flops and headline_steps:
+        mfu = round(step_flops * headline_steps / peak_flops, 4)
 
     # Larger-N shape (stderr table only; same metric definition).
     big = {}
@@ -438,10 +496,10 @@ def main() -> None:
         baseline_steps = None
         failed.append("torch_baseline")
 
-    value = tpu_steps * edges_per_step() if tpu_steps else None
+    value = headline_steps * edges_per_step() if headline_steps else None
     vs = (
-        round(tpu_steps / baseline_steps, 3)
-        if tpu_steps and baseline_steps
+        round(headline_steps / baseline_steps, 3)
+        if headline_steps and baseline_steps
         else None
     )
     print(
@@ -452,7 +510,11 @@ def main() -> None:
                 "unit": "edges/s/chip",
                 "vs_baseline": vs,
                 "mfu": mfu,
-                "best_config": best_name,
+                "best_config": scanned_best or best_name,
+                "steps_per_s_scanned": {
+                    k: round(v, 2) for k, v in scanned.items()
+                }
+                or None,
                 "steps_per_s": {k: round(v, 2) for k, v in configs.items()},
                 "edges_per_s_N1024": big or None,
                 "sparse_edges_per_s": round(sparse_eps, 1) if sparse_eps else None,

@@ -9,10 +9,14 @@ from grl_tpu.trainer.procedures.graph_classification_procedure import (
 )
 from grl_tpu.trainer.procedures.joint_training_procedure import JointTrainingProcedure
 from grl_tpu.trainer.procedures.kv_procedure import KVProcedure
+from grl_tpu.trainer.procedures.sampled_graph_procedure import (
+    SampledGraphProcedure,
+)
 from grl_tpu.trainer.procedures.ssl_pretrain_procedure import SSLPretrainProcedure
 
 __all__ = [
     "FullGraphProcedure",
+    "SampledGraphProcedure",
     "BaseProcedure",
     "TrainState",
     "KVProcedure",

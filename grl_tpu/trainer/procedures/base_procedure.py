@@ -234,11 +234,42 @@ class BaseProcedure:
         return {}
 
     def build_train_step(self, num_classes: int, ignore_values: Tuple[int, ...]):
+        return partial(jax.jit, donate_argnums=(0,))(
+            self._train_step_body(num_classes, ignore_values)
+        )
+
+    def build_scanned_train_step(
+        self, num_classes: int, ignore_values: Tuple[int, ...]
+    ):
+        """K fused optimizer steps per dispatch: ``lax.scan`` of the train
+        step body over stacked ``(K, ...)`` batches (+ per-step rng/lam).
+
+        Per-step dispatch pays a host round-trip between steps that can
+        exceed the device step itself (measured ~1.7 ms overhead vs a
+        ~1.2 ms flagship device step through the TPU tunnel —
+        docs/model-performance.md); fusing K same-shape batches amortizes
+        it to 1/K. Returns ``(state, losses (K,), cms (K, C, C))``.
+        """
+        body = self._train_step_body(num_classes, ignore_values)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def scanned(state: TrainState, Vs, As, labels_s, rngs, lams):
+            def f(st, xs):
+                st, loss, cm = body(st, *xs)
+                return st, (loss, cm)
+
+            state, (losses, cms) = jax.lax.scan(
+                f, state, (Vs, As, labels_s, rngs, lams)
+            )
+            return state, losses, cms
+
+        return scanned
+
+    def _train_step_body(self, num_classes: int, ignore_values: Tuple[int, ...]):
         model, criterion = self.model, self.criterion
         tx = self.tx
         has_bn = self.state is not None and self.state.batch_stats is not None
 
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, V, A, labels, rng, lam):
             def loss_fn(params):
                 variables = {"params": params}

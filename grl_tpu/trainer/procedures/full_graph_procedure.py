@@ -129,6 +129,32 @@ class FullGraphProcedure(BaseProcedure):
             self.val_labels = jnp.asarray(val_labels)
         self._train_fn = None
         self._eval_fn = None
+        # Fuse K consecutive steps into one dispatch (config: scan_steps).
+        self._scan_k = max(1, int(self.config.get("scan_steps", 1)))
+
+    def _maybe_scan(self, step_body):
+        """Wrap the per-step body in ``lax.scan`` over ``scan_steps`` rng
+        draws, jitted with a donated state carry.
+
+        Per-step dispatch pays a host round-trip between steps that can
+        exceed the device step itself (measured ~1.7 ms overhead vs a
+        ~1.2 ms flagship device step through the TPU tunnel —
+        docs/model-performance.md); fusing K steps amortizes it to 1/K.
+        ``scan_steps=1`` (default) keeps plain per-step dispatch.
+        """
+        K = self._scan_k
+        if K <= 1:
+            return jax.jit(step_body, donate_argnums=(0,))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def scanned(state, V, labels, rng):
+            def body(st, r):
+                return step_body(st, V, labels, r)
+
+            state, losses = jax.lax.scan(body, state, jax.random.split(rng, K))
+            return state, losses[-1]
+
+        return scanned
 
     def _ensure_initialized(self) -> None:
         if self._partitioned:
@@ -154,8 +180,7 @@ class FullGraphProcedure(BaseProcedure):
         if self._train_fn is None:
             model, tx, graph = self.model, self.tx, self.graph
 
-            @partial(jax.jit, donate_argnums=(0,))
-            def train_step(state: TrainState, V, labels, rng):
+            def step_body(state: TrainState, V, labels, rng):
                 def loss_fn(params):
                     variables = {"params": params}
                     if state.constants is not None:
@@ -175,6 +200,8 @@ class FullGraphProcedure(BaseProcedure):
                     ),
                     loss,
                 )
+
+            train_step = self._maybe_scan(step_body)
 
             @jax.jit
             def eval_step(state: TrainState, V, labels):
@@ -231,7 +258,7 @@ class FullGraphProcedure(BaseProcedure):
                 self.model, self.mesh, self.part, self.tx
             )
 
-            def train_fn(state: TrainState, V, labels, rng):
+            def step_body(state: TrainState, V, labels, rng):
                 params, opt_state, loss = step(
                     state.params, state.constants, state.opt_state,
                     V, labels, rng,
@@ -242,6 +269,8 @@ class FullGraphProcedure(BaseProcedure):
                     ),
                     loss,
                 )
+
+            train_fn = self._maybe_scan(step_body)
 
             def eval_fn(state: TrainState, V, labels):
                 logits = fwd(state.params, state.constants, V)
@@ -260,12 +289,18 @@ class FullGraphProcedure(BaseProcedure):
         mask = self.part.mask if self._partitioned else self.graph.mask
         edges = int(np.asarray(mask).sum())
         start = time.time()
-        for epoch in range(num_epochs):
+        K = self._scan_k
+        # With scan_steps=K each dispatch advances K epochs (full-graph
+        # steps); epochs round up to a multiple of K.
+        total = 0
+        for first in range(0, num_epochs, K):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, loss = self._train_fn(
                 self.state, self.features, self.train_labels, step_rng
             )
-            if epoch % 10 == 0 or epoch == num_epochs - 1:
+            epoch = first + K - 1
+            total = epoch + 1
+            if first // 10 != (first + K) // 10 or first + K >= num_epochs:
                 acc = float(self._eval_fn(self.state, self.features, self.val_labels))
                 best_acc = max(best_acc, acc)
                 self.tb_writer.add_scalar("val_accuracy", acc, epoch)
@@ -273,10 +308,10 @@ class FullGraphProcedure(BaseProcedure):
                     f"epoch {epoch}: loss={float(loss):.4f} val_acc={acc:.4f}"
                 )
         elapsed = time.time() - start
-        edges_per_sec = edges * num_epochs / max(elapsed, 1e-9)
+        edges_per_sec = edges * total / max(elapsed, 1e-9)
         self.logger.info(
             f"full-graph training: {edges_per_sec:,.0f} edges/s "
-            f"({num_epochs} epochs, {elapsed:.1f}s)"
+            f"({total} epochs, {elapsed:.1f}s)"
         )
         self.tb_writer.close()
         return best_acc

@@ -47,6 +47,12 @@ class KVProcedure(BaseProcedure):
         )
         self._train_fn = None
         self._eval_fn = None
+        self._train_scan_fn = None
+        # Fuse K same-shape consecutive steps into one dispatch
+        # (config: scan_steps; see build_scanned_train_step).
+        self._scan_k = max(1, int(self.config.get("scan_steps", 1)))
+        self._scanned_dispatches = 0
+        self._last_ckpt_step = 0
         from grl_tpu.utils.profiling import Profiler
 
         profile_cfg = self.config.get_path("logging.profile", {}) or {}
@@ -126,6 +132,21 @@ class KVProcedure(BaseProcedure):
         if self._train_fn is None:
             self._train_fn = self.build_train_step(self.num_classes, self._ignore)
             self._eval_fn = self.build_eval_step(self.num_classes, self._ignore)
+            if self._use_scan():
+                self._train_scan_fn = self.build_scanned_train_step(
+                    self.num_classes, self._ignore
+                )
+
+    def _use_scan(self) -> bool:
+        """Fused multi-step dispatch applies to the plain KV step only:
+        subclasses that override _run_train_batch (SSL/joint/graph-cls)
+        keep per-step dispatch, as does mesh-sharded training (stacked
+        batches would need an extra leading-axis sharding rule)."""
+        return (
+            self._scan_k > 1
+            and self.mesh is None
+            and type(self)._run_train_batch is KVProcedure._run_train_batch
+        )
 
     def _lambda_value(self, epoch: int) -> float:
         """Per-step cosine lambda (reference: kv_procedure.py:201-204)."""
@@ -171,28 +192,118 @@ class KVProcedure(BaseProcedure):
         cm = np.asarray(cm)
         return self._scores_from_cm(cm, float(loss)), cm
 
-    def _optimize_per_epoch(self, epoch: int) -> Dict[str, float]:
-        """(reference: kv_procedure.py:180-244)."""
-        train_metrics = Dictlist()
-        epoch_start = time.time()
+    def _train_epoch_stepwise(self, epoch: int, train_metrics: Dictlist) -> int:
+        """One dispatch per batch (the default / reference-shaped loop)."""
         num_nodes = 0
         for batch in self.train_loader:
             self.profiler.maybe_start(self.global_step)
             step_scores = self._run_train_batch(batch, epoch)
             self.profiler.maybe_stop(self.global_step)
-            train_metrics.update_metrics(step_scores)
-            self.tb_writer.add_scalar("Train_step_loss", step_scores["loss"], self.global_step)
-            if self.ems_exp:
-                self.ems_exp["Train/step_loss"].append(step_scores["loss"])
+            self._log_train_step(step_scores, train_metrics, self.global_step)
             self.global_step += 1
             num_nodes += int(np.prod(np.shape(batch["textline_encoding"])[:2]))
-            # Preemption-safe step checkpoint (save_interval from config;
-            # the reference declares but never uses it — base_config.yaml:67).
-            if self.save_interval and self.global_step % int(self.save_interval) == 0:
-                self.checkpointer.save_checkpoint(
-                    self.state, self.model_dir,
-                    meta={"epoch": epoch, "global_step": self.global_step},
+            self._maybe_step_checkpoint(epoch)
+        return num_nodes
+
+    def _train_epoch_scanned(self, epoch: int, train_metrics: Dictlist) -> int:
+        """Fused dispatch: buffer same-shape batches until scan_steps of
+        them are ready, then run them as ONE jitted lax.scan dispatch
+        (build_scanned_train_step). Bucketed padding keeps the number of
+        distinct shapes small, so buffers fill fast; leftover buffers and
+        sparse COO batches drain through the per-step path. Within a
+        shape bucket the update order is the arrival order; across
+        buckets updates are grouped — the same SGD stream a shuffled
+        loader already randomizes.
+        """
+        import jax.numpy as jnp
+
+        K = self._scan_k
+        buffers: Dict[tuple, list] = {}
+        num_nodes = 0
+
+        def flush(items) -> None:
+            Vs, As, Ls, rngs, lams, steps = (
+                [it[i] for it in items] for i in range(6)
+            )
+            self.state, losses, cms = self._train_scan_fn(
+                self.state, jnp.stack(Vs), jnp.stack(As), jnp.stack(Ls),
+                jnp.stack(rngs), jnp.stack(lams),
+            )
+            self._scanned_dispatches += 1
+            for loss, cm, gstep in zip(
+                np.asarray(losses), np.asarray(cms), steps
+            ):
+                self._log_train_step(
+                    self._scores_from_cm(cm, float(loss)), train_metrics, gstep
                 )
+            self._maybe_step_checkpoint(epoch)
+
+        for batch in self.train_loader:
+            self._ensure_initialized(batch)
+            V, A, labels = self._prepare_batch(batch)
+            num_nodes += int(np.prod(np.shape(batch["textline_encoding"])[:2]))
+            lam = jnp.float32(self._lambda_value(epoch))
+            self.rng, step_rng = jax.random.split(self.rng)
+            gstep = self.global_step
+            self.global_step += 1
+            if not isinstance(A, jnp.ndarray):
+                # Sparse COO adjacency: per-step dispatch (a stacked
+                # RelationalGraph would need per-bucket kernel plans).
+                self.state, loss, cm = self._train_fn(
+                    self.state, V, A, labels, step_rng, lam
+                )
+                self._log_train_step(
+                    self._scores_from_cm(np.asarray(cm), float(loss)),
+                    train_metrics, gstep,
+                )
+                self._maybe_step_checkpoint(epoch)
+                continue
+            key = (V.shape, A.shape, labels.shape)
+            buffers.setdefault(key, []).append(
+                (V, A, labels, step_rng, lam, gstep)
+            )
+            if len(buffers[key]) == K:
+                flush(buffers.pop(key))
+        for items in buffers.values():
+            for V, A, labels, step_rng, lam, gstep in items:
+                self.state, loss, cm = self._train_fn(
+                    self.state, V, A, labels, step_rng, lam
+                )
+                self._log_train_step(
+                    self._scores_from_cm(np.asarray(cm), float(loss)),
+                    train_metrics, gstep,
+                )
+        return num_nodes
+
+    def _log_train_step(self, step_scores: Dict[str, float],
+                        train_metrics: Dictlist, gstep: int) -> None:
+        train_metrics.update_metrics(step_scores)
+        self.tb_writer.add_scalar("Train_step_loss", step_scores["loss"], gstep)
+        if self.ems_exp:
+            self.ems_exp["Train/step_loss"].append(step_scores["loss"])
+
+    def _maybe_step_checkpoint(self, epoch: int) -> None:
+        # Preemption-safe step checkpoint (save_interval from config;
+        # the reference declares but never uses it — base_config.yaml:67).
+        # Crossing-aware so a fused scan dispatch that advances several
+        # steps past a boundary still checkpoints.
+        if not self.save_interval:
+            return
+        if self.global_step - self._last_ckpt_step >= int(self.save_interval):
+            self._last_ckpt_step = self.global_step
+            self.checkpointer.save_checkpoint(
+                self.state, self.model_dir,
+                meta={"epoch": epoch, "global_step": self.global_step},
+            )
+
+    def _optimize_per_epoch(self, epoch: int) -> Dict[str, float]:
+        """(reference: kv_procedure.py:180-244)."""
+        train_metrics = Dictlist()
+        epoch_start = time.time()
+        if self._use_scan():
+            num_nodes = self._train_epoch_scanned(epoch, train_metrics)
+        else:
+            num_nodes = self._train_epoch_stepwise(epoch, train_metrics)
 
         elapsed = time.time() - epoch_start
         train_result = train_metrics.result()

@@ -1,0 +1,183 @@
+"""Neighbor-sampled minibatch training on one large graph (BASELINE
+config 4: the ogbn-products-style workload the reference cannot run).
+
+Minibatches come from :class:`grl_tpu.data.neighbor_sampler.
+NeighborSampler` as static-shape sampling trees; ``G`` independent
+subgraphs stack on a leading group axis, merge into one flat disconnected
+graph (`batch_relational_coo` — the same trick the KV batch path uses)
+and, under a ``config.parallel.mesh``, shard over the ``data`` axis via
+``place_batch`` — XLA inserts the gradient all-reduce. One jitted,
+donated train step serves every batch of every epoch (static shapes).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from grl_tpu.config import ConfigDict
+from grl_tpu.data.large_graph import LargeGraphData
+from grl_tpu.data.neighbor_sampler import NeighborSampler, SampledBatch
+from grl_tpu.models.base import count_parameters, init_model
+from grl_tpu.ops.sparse import batch_relational_coo
+from grl_tpu.trainer.losses import cross_entropy
+from grl_tpu.trainer.procedures.base_procedure import BaseProcedure, TrainState
+from grl_tpu.trainer.procedures.full_graph_procedure import large_graph_from_config
+
+
+class SampledGraphProcedure(BaseProcedure):
+    """Train ``model`` (sparse mode) on neighbor-sampled minibatches;
+    returns best sampled-eval val accuracy."""
+
+    def __init__(
+        self,
+        model: Any,
+        config: ConfigDict,
+        data: Optional[LargeGraphData] = None,
+        **kwargs: Any,
+    ):
+        super().__init__(model, config, **kwargs)
+        self.data = data if data is not None else large_graph_from_config(config)
+        cfg = dict(self.config.get("sampler", {}) or {})
+        groups = int(cfg.get("groups", 0))
+        if self.mesh is not None:
+            d = int(self.mesh.shape.get("data", 1))
+            groups = max(groups, d)
+        self.sampler = NeighborSampler(
+            self.data,
+            fanouts=tuple(cfg.get("fanouts", (10, 10))),
+            batch_size=int(cfg.get("batch_size", 256)),
+            groups=max(1, groups),
+        )
+        self.state = None
+        self._train_fn = None
+        self._eval_fn = None
+        self._np_rng = np.random.RandomState(int(self.config.get("seed", 0)))
+
+    # ------------------------------------------------------------------
+    def _place(self, batch: SampledBatch):
+        arrays = {
+            "V": batch.features,
+            "labels": batch.labels,
+            "senders": batch.senders.astype(np.int32),
+            "receivers": batch.receivers.astype(np.int32),
+            "relations": batch.relations.astype(np.int32),
+            "weights": batch.weights,
+            "mask": batch.mask,
+        }
+        placed = self.place_batch(arrays, pad_values={"labels": -100})
+        G, maxN = placed["labels"].shape
+        graph = batch_relational_coo(
+            placed["senders"], placed["receivers"], placed["relations"],
+            placed["weights"], placed["mask"],
+            nodes_per_sample=maxN, num_relations=self.data.num_relations,
+        )
+        V_flat = placed["V"].reshape(G * maxN, -1)
+        return V_flat, graph, placed["labels"]
+
+    def _ensure_initialized(self, example: SampledBatch) -> None:
+        if self.state is None:
+            V, graph, _ = self._place(example)
+            variables = init_model(self.model, self.rng, (V, graph), train=False)
+            self.logger.info(
+                f"Sampled-graph model params: "
+                f"{count_parameters(variables['params']):,} | "
+                f"tree nodes/group={self.sampler.num_nodes:,} "
+                f"edges/group={self.sampler.num_edges:,} "
+                f"groups={self.sampler.groups}"
+            )
+            self.state = TrainState(
+                params=variables["params"],
+                constants=variables.get("constants"),
+                batch_stats=variables.get("batch_stats"),
+                opt_state=self.tx.init(variables["params"]),
+                step=jnp.zeros((), jnp.int32),
+            )
+            self.state = self._load_prev_checkpoint(self.state)
+        if self._train_fn is None:
+            model, tx = self.model, self.tx
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def train_step(state: TrainState, V, graph, labels, rng):
+                def loss_fn(params):
+                    variables = {"params": params}
+                    if state.constants is not None:
+                        variables["constants"] = state.constants
+                    logits = model.apply(
+                        variables, (V, graph), train=True, rngs={"dropout": rng}
+                    )
+                    logits = logits.reshape(*labels.shape, -1)
+                    return cross_entropy(logits, labels)
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                updates, new_opt = tx.update(grads, state.opt_state, state.params)
+                return (
+                    state.replace(
+                        params=optax.apply_updates(state.params, updates),
+                        opt_state=new_opt,
+                        step=state.step + 1,
+                    ),
+                    loss,
+                )
+
+            @jax.jit
+            def eval_step(state: TrainState, V, graph, labels):
+                logits = model.apply(state.variables(), (V, graph), train=False)
+                logits = logits.reshape(*labels.shape, -1)
+                preds = jnp.argmax(logits, axis=-1)
+                mask = labels != -100
+                return (
+                    jnp.sum((preds == labels) & mask),
+                    jnp.maximum(jnp.sum(mask), 1),
+                )
+
+            self._train_fn = train_step
+            self._eval_fn = eval_step
+
+    # ------------------------------------------------------------------
+    def _eval_accuracy(self) -> float:
+        correct = total = 0
+        for batch in self.sampler.epoch_batches(self._np_rng, self.data.val_mask):
+            V, graph, labels = self._place(batch)
+            c, t = self._eval_fn(self.state, V, graph, labels)
+            correct += int(c)
+            total += int(t)
+        return correct / max(total, 1)
+
+    def __call__(self) -> float:
+        num_epochs = int(self.config.get("num_epochs", 10))
+        best_acc = 0.0
+        start = time.time()
+        steps = 0
+        for epoch in range(num_epochs):
+            losses = []
+            for batch in self.sampler.epoch_batches(
+                self._np_rng, self.data.train_mask
+            ):
+                self._ensure_initialized(batch)
+                V, graph, labels = self._place(batch)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, loss = self._train_fn(
+                    self.state, V, graph, labels, step_rng
+                )
+                losses.append(float(loss))
+                steps += 1
+            acc = self._eval_accuracy()
+            best_acc = max(best_acc, acc)
+            self.tb_writer.add_scalar("val_accuracy", acc, epoch)
+            self.logger.info(
+                f"epoch {epoch}: loss={np.mean(losses):.4f} val_acc={acc:.4f}"
+            )
+        elapsed = time.time() - start
+        nodes = steps * self.sampler.groups * self.sampler.batch_size
+        self.logger.info(
+            f"sampled training: {nodes / max(elapsed, 1e-9):,.0f} target "
+            f"nodes/s ({steps} steps, {elapsed:.1f}s)"
+        )
+        self.tb_writer.close()
+        return best_acc

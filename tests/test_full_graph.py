@@ -51,6 +51,38 @@ class TestFullGraphProcedure:
         # Features alone (noise=3) are weak; graph structure must help.
         assert acc > 0.6, acc
 
+    def test_scan_steps_fused_dispatch(self, sbm, tmp_path):
+        """scan_steps=K fuses K full-graph steps into one dispatch; the
+        optimizer advances K steps per call and training still learns."""
+        from grl_tpu.models import GraphCNNDropEdge
+        from grl_tpu.trainer.procedures.full_graph_procedure import FullGraphProcedure
+
+        config = ConfigDict(
+            {
+                "experiment_name": "sbm-scan",
+                "seed": 0,
+                "output_dir": str(tmp_path),
+                "checkpoint_path": None,
+                "num_epochs": 40,
+                "scan_steps": 4,
+                "max_grad_norm": 5.0,
+                "loss": {"type": "CrossEntropyLoss", "args": {}},
+                "optimizer": {
+                    "type": "BuiltinOptimizer",
+                    "args": {"type_optimizer": "Adam", "lr": 0.01},
+                },
+                "logging": {"use_tensorboard": False, "summary_dir_name": "summary"},
+            }
+        )
+        model = GraphCNNDropEdge(
+            input_dim=32, output_dim=5, num_edges=3, net_size=32,
+            use_attention=False,
+        )
+        proc = FullGraphProcedure(model, config, sbm)
+        acc = proc()
+        assert int(proc.state.step) == 40
+        assert np.isfinite(acc) and acc > 0.3, acc
+
     def test_sparse_matches_dense_forward(self, sbm):
         """Sparse COO forward == dense adjacency forward on a small graph."""
         from grl_tpu.models import GraphCNNDropEdge, init_model

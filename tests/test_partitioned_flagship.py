@@ -161,6 +161,9 @@ class TestFullGraphProcedureConfig:
                 "seed": 0,
                 "output_dir": str(tmp_path),
                 "num_epochs": 8,
+                # Also covers scan_steps on the partitioned (shard_map)
+                # path: 4 dispatches of 2 fused steps each.
+                "scan_steps": 2,
                 "parallel": {"mesh": {"data": 4}},
                 "data_config": {
                     "large_graph": {

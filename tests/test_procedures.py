@@ -222,3 +222,26 @@ class TestGraphClassification:
         proc = GraphClassificationProcedure(model, cfg)
         f1 = proc()
         assert np.isfinite(f1)
+
+
+class TestScannedKVDispatch:
+    def test_scan_steps_fused_kv_training(self, synth):
+        """scan_steps=K on KVProcedure: same-shape batches are fused into
+        lax.scan dispatches; metrics/step counters advance identically to
+        the per-step path and the run learns."""
+        root, data_dir, classes_path, charset_path, input_dim = synth
+        from grl_tpu.models import GraphCNNDropEdge
+        from grl_tpu.trainer.procedures import KVProcedure
+
+        split = make_split(data_dir, classes_path, charset_path)
+        cfg = base_config(root, split, "kv-scan", epochs=2)
+        cfg["scan_steps"] = 2
+        model = GraphCNNDropEdge(
+            input_dim=input_dim, output_dim=15, num_edges=6, net_size=32
+        )
+        proc = KVProcedure(model, cfg)
+        f1 = proc()
+        assert np.isfinite(f1)
+        assert proc._scanned_dispatches > 0, "fused path never dispatched"
+        assert int(proc.state.step) == proc.global_step
+        assert proc.global_step == 2 * len(proc.train_loader)
