@@ -84,8 +84,60 @@ def retry(fn, attempts=3, backoff_s=15.0, label="config"):
     raise last
 
 
-def edges_per_step(b=B, n=N) -> float:
+def adj_entries_per_step(b=B, n=N) -> float:
+    """Dense-adjacency entries consumed per training step (3 GraphConv
+    layers x B x (L+1) x N^2). This is a DENSE-path continuity metric —
+    deliberately NOT called "edges" so it cannot be cross-read against
+    ``sparse_edges_per_s`` (actual nnz); see VERDICT r3 weak #8."""
     return 3.0 * b * (L + 1) * n * n
+
+
+def parse_xplane_device_seconds(trace_dir: str) -> float | None:
+    """Total device busy seconds recorded in a jax.profiler trace.
+
+    Walks the ``*.xplane.pb`` the profiler wrote, finds TPU device
+    planes, and sums the durations of the top-level "XLA Modules" line
+    (one event per executable dispatch). Returns None if no TPU plane or
+    the proto tooling is unavailable — callers must treat that as
+    "profiler cross-check unavailable", not as success.
+    """
+    import glob
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        return None
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except Exception:
+        try:
+            from tensorboard_plugin_profile.protobuf import xplane_pb2
+        except Exception:
+            return None
+    total_ps = 0
+    found = False
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as fh:
+            space.ParseFromString(fh.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name or "#Chip" in plane.name:
+                continue
+            # Prefer the module-level line (one event per executable run);
+            # fall back to the busiest line.
+            best_line_ps = 0
+            module_ps = None
+            for line in plane.lines:
+                line_ps = sum(ev.duration_ps for ev in line.events)
+                best_line_ps = max(best_line_ps, line_ps)
+                if "Module" in line.name:
+                    module_ps = (module_ps or 0) + line_ps
+            plane_ps = module_ps if module_ps else best_line_ps
+            if plane_ps:
+                found = True
+                total_ps += plane_ps
+    return total_ps / 1e12 if found else None
 
 
 def measure_tpu(
@@ -94,16 +146,29 @@ def measure_tpu(
     b: int = B,
     n: int = N,
     scan_k: int = 1,
-) -> tuple[float, float | None]:
-    """(steps/s, model FLOPs/step from XLA cost analysis) on the default
-    device for one (kernel, dtype, shape) config of the jitted train step.
+    profile_dir: str | None = None,
+) -> tuple[float, float | None, dict]:
+    """(steps/s, model FLOPs/step, checks) for one config of the jitted
+    train step on the default device.
 
     ``scan_k > 1`` fuses that many optimizer steps into one dispatch via
-    ``lax.scan`` (the FullGraphProcedure ``scan_steps`` product path):
-    per-step dispatch through the TPU tunnel costs ~1.7 ms of host
-    round-trip against a ~1.2 ms device step, so the scanned number is
-    the honest *device* throughput; the per-dispatch number includes the
-    host loop the KVProcedure pays today.
+    ``lax.scan`` (the FullGraphProcedure ``scan_steps`` product path).
+
+    Measurement protocol (VERDICT r3 #1 — the round-3 scanned number was
+    a tunnel artifact at 2.37x chip peak): every dispatch consumes a
+    scalar derived from the PREVIOUS dispatch's loss (``chain_scalar``,
+    scaling the input features), so dispatches are value-fresh AND
+    data-dependent — the runtime can neither memoize nor elide them —
+    and every timed window ends with a host ``float()`` fetch, the only
+    hard sync the tunnel honors. Two cross-checks ship in ``checks``:
+
+    * ``t1``: best-of single-dispatch latency with a hard sync. A
+      pipelined window can legitimately beat ``t1`` (round-trip hides
+      under device time) but not by >4x; below that the window is
+      discarded in favor of the ``t1``-derived rate.
+    * ``profiler_s_per_dispatch``: device busy time per dispatch from a
+      jax.profiler trace of one window (None if trace capture/parse is
+      unavailable through the tunnel).
     """
     import jax
     import jax.numpy as jnp
@@ -125,11 +190,11 @@ def measure_tpu(
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params)
 
-    def step_body(params, opt_state, rng):
+    def step_body(params, opt_state, rng, s):
         def loss_fn(p):
             logits = model.apply(
                 {"params": p, "constants": constants},
-                (V, A),
+                (V * s, A),  # chain: inputs depend on the previous loss
                 train=True,
                 rngs={"dropout": rng},
             )
@@ -142,24 +207,31 @@ def measure_tpu(
     if scan_k > 1:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, rng):
+        def step(params, opt_state, rng, s):
             def body(carry, r):
-                p, o = carry
-                p, o, loss = step_body(p, o, r)
-                return (p, o), loss
+                p, o, s = carry
+                p, o, loss = step_body(p, o, r, s)
+                # Inner chain too: step k+1's inputs depend on step k's
+                # loss, so the scan body is truly sequential on-device.
+                return (p, o, chain_scalar(loss)), None
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jax.random.split(rng, scan_k)
+            (params, opt_state, s), _ = jax.lax.scan(
+                body, (params, opt_state, s), jax.random.split(rng, scan_k)
             )
-            return params, opt_state, losses[-1]
+            return params, opt_state, s
 
     else:
-        step = functools.partial(jax.jit, donate_argnums=(0, 1))(step_body)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, rng, s):
+            params, opt_state, loss = step_body(params, opt_state, rng, s)
+            return params, opt_state, chain_scalar(loss)
 
     # Compile ONCE via lower/compile: the same executable serves the cost
     # analysis (model FLOPs for MFU) and the timing loop.
     flops = None
-    compiled = step.lower(params, opt_state, jax.random.PRNGKey(9)).compile()
+    s0 = jnp.float32(1.0)
+    compiled = step.lower(params, opt_state, jax.random.PRNGKey(9), s0).compile()
     try:
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
@@ -175,33 +247,75 @@ def measure_tpu(
         pass
 
     rng = jax.random.PRNGKey(1)
+    s = s0
     for _ in range(WARMUP):
         rng, k = jax.random.split(rng)
-        params, opt_state, loss = compiled(params, opt_state, k)
-    jax.block_until_ready(loss)
-    # Tunnel TPU timing is noisy (occasional 2-3x slow windows, especially
-    # for the first config after backend init). Time WINDOWS independent
-    # windows and report the best — the standard defence against one-sided
-    # interference noise; the donated params chain keeps every dispatch
-    # value-fresh so no window can be memoized.
+        params, opt_state, s = compiled(params, opt_state, k, s)
+    float(s)
+    # Cross-check 1: single-dispatch latency, hard-synced per dispatch.
+    t1 = float("inf")
+    for _ in range(5):
+        rng, k = jax.random.split(rng)
+        start = time.perf_counter()
+        params, opt_state, s = compiled(params, opt_state, k, s)
+        float(s)
+        t1 = min(t1, time.perf_counter() - start)
+    # Timed windows: best of WINDOWS independent windows (tunnel noise is
+    # one-sided); the chain scalar makes each dispatch value-fresh and
+    # data-dependent, and float(s) is the hard end-of-window sync.
     best_elapsed = float("inf")
     for _ in range(WINDOWS):
         start = time.perf_counter()
         for _ in range(ITERS):
             rng, k = jax.random.split(rng)
-            params, opt_state, loss = compiled(params, opt_state, k)
-        jax.block_until_ready(loss)
+            params, opt_state, s = compiled(params, opt_state, k, s)
+        float(s)
         best_elapsed = min(best_elapsed, time.perf_counter() - start)
-    steps_s = ITERS * scan_k / best_elapsed
+    per_dispatch = best_elapsed / ITERS
+    checks: dict = {"t1": t1, "window_s_per_dispatch": per_dispatch}
+    if per_dispatch < t1 / 4.0:
+        # A pipelined window hides the round-trip, not the device time;
+        # >4x under single-dispatch latency means the window did not
+        # actually execute its dispatches. Fall back to the synced rate.
+        print(
+            f"[bench] WARNING: window {per_dispatch * 1e3:.3f} ms/dispatch "
+            f"vs single-dispatch {t1 * 1e3:.3f} ms — implausible window "
+            "discarded, using synced single-dispatch rate",
+            file=sys.stderr,
+        )
+        per_dispatch = t1
+        checks["window_discarded"] = True
+    # Cross-check 2: device busy time from a profiler trace of one window.
+    if profile_dir is not None:
+        try:
+            jax.profiler.start_trace(profile_dir)
+            for _ in range(ITERS):
+                rng, k = jax.random.split(rng)
+                params, opt_state, s = compiled(params, opt_state, k, s)
+            float(s)
+            jax.profiler.stop_trace()
+            dev_s = parse_xplane_device_seconds(profile_dir)
+            if dev_s:
+                checks["profiler_s_per_dispatch"] = dev_s / ITERS
+        except Exception as err:
+            print(f"[bench] profiler trace failed: {err}", file=sys.stderr)
+    steps_s = scan_k / per_dispatch
     print(
         f"[bench] device={jax.devices()[0]} B={b} N={n} kernel={kernel_impl} "
         f"dtype={compute_dtype or 'float32'}"
         + (f" scan={scan_k}" if scan_k > 1 else "")
         + f" {steps_s:.2f} steps/s"
+        + f" (t1={t1 * 1e3:.2f} ms, window={per_dispatch * 1e3:.2f} ms"
+        + (
+            f", profiler={checks['profiler_s_per_dispatch'] * 1e3:.2f} ms"
+            if "profiler_s_per_dispatch" in checks
+            else ""
+        )
+        + ")"
         + (f" ({flops * steps_s / 1e12:.1f} TFLOP/s)" if flops else ""),
         file=sys.stderr,
     )
-    return steps_s, flops
+    return steps_s, flops, checks
 
 
 def measure_torch_baseline() -> float:
@@ -399,6 +513,154 @@ def measure_sparse(
     return E / best, frac, best_name, E / best / sol
 
 
+def arxiv_scale_data():
+    """Shared arxiv-scale SBM for the sparse/product measurements."""
+    from grl_tpu.data.large_graph import sbm_relational_graph
+
+    return sbm_relational_graph(
+        num_nodes=169_343, num_classes=40, num_relations=1,
+        avg_degree=7, feature_dim=128, seed=0,
+    )
+
+
+def measure_full_graph(data, dispatches: int = 3) -> float:
+    """FullGraphProcedure epoch edge throughput as the PRODUCT runs it
+    (kernel_impl=ell + scan_steps=10) at arxiv scale — BASELINE config 3
+    through the real trainer, not a raw-op loop. Returns actual-nnz
+    edges/s (each epoch consumes every edge once, fwd+bwd fused in the
+    jitted step). Timing: the donated TrainState chains every dispatch
+    (true data dependence, fresh values) and each window ends with a
+    host float(loss) fetch."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from grl_tpu.config import ConfigDict
+    from grl_tpu.models import GraphCNNDropEdge
+    from grl_tpu.trainer.procedures.full_graph_procedure import (
+        FullGraphProcedure,
+    )
+
+    K = 10
+    with tempfile.TemporaryDirectory() as tmp:
+        config = ConfigDict(
+            {
+                "experiment_name": "bench_full_graph",
+                "seed": 0,
+                "output_dir": tmp,
+                "num_epochs": K * (dispatches + 1),
+                "scan_steps": K,
+                "max_grad_norm": 5.0,
+                "optimizer": {
+                    "type": "BuiltinOptimizer",
+                    "args": {"type_optimizer": "Adam", "lr": 1e-3},
+                },
+                "logging": {"use_tensorboard": False},
+            }
+        )
+        model = GraphCNNDropEdge(
+            input_dim=128, output_dim=40, num_edges=1, net_size=256,
+            use_attention=False, kernel_impl="ell",
+        )
+        proc = FullGraphProcedure(model, config, data)
+        proc._ensure_initialized()
+        E = int(np.asarray(proc.graph.mask).sum())
+        rng = jax.random.PRNGKey(0)
+        state = proc.state
+        rng, k = jax.random.split(rng)
+        state, loss = proc._train_fn(
+            state, proc.features, proc.train_labels, k
+        )
+        float(loss)  # warmup + hard sync
+        best = float("inf")
+        for _ in range(WINDOWS):
+            start = time.perf_counter()
+            for _ in range(dispatches):
+                rng, k = jax.random.split(rng)
+                state, loss = proc._train_fn(
+                    state, proc.features, proc.train_labels, k
+                )
+            float(loss)
+            best = min(best, time.perf_counter() - start)
+        eps = E * K * dispatches / best
+        print(
+            f"[bench] full-graph procedure (ell, scan_steps={K}, arxiv "
+            f"scale): {eps / 1e6:.1f} M edges/s", file=sys.stderr,
+        )
+        return eps
+
+
+def measure_sampled(data, batches: int = 20) -> float:
+    """SampledGraphProcedure target-node throughput as the product runs
+    it (fanouts 10x10, B=256 — BASELINE config 4), INCLUDING the host
+    neighbor-sampling and H2D transfer each step pays. Returns target
+    nodes/s."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from grl_tpu.config import ConfigDict
+    from grl_tpu.models import GraphCNNDropEdge
+    from grl_tpu.trainer.procedures.sampled_graph_procedure import (
+        SampledGraphProcedure,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config = ConfigDict(
+            {
+                "experiment_name": "bench_sampled",
+                "seed": 0,
+                "output_dir": tmp,
+                "num_epochs": 1,
+                "max_grad_norm": 5.0,
+                "sampler": {"fanouts": [10, 10], "batch_size": 256},
+                "optimizer": {
+                    "type": "BuiltinOptimizer",
+                    "args": {"type_optimizer": "Adam", "lr": 1e-3},
+                },
+                "logging": {"use_tensorboard": False},
+            }
+        )
+        model = GraphCNNDropEdge(
+            input_dim=128, output_dim=40, num_edges=1, net_size=256,
+            use_attention=False,
+        )
+        proc = SampledGraphProcedure(model, config, data)
+        np_rng = np.random.RandomState(0)
+        it = iter(proc.sampler.epoch_batches(np_rng, data.train_mask))
+        first = next(it)
+        proc._ensure_initialized(first)
+        rng = jax.random.PRNGKey(0)
+        state = proc.state
+        V, graph, labels = proc._place(first)
+        rng, k = jax.random.split(rng)
+        state, loss = proc._train_fn(state, V, graph, labels, k)
+        float(loss)  # warmup (compile) + hard sync
+        done = 0
+        start = time.perf_counter()
+        for batch in it:
+            V, graph, labels = proc._place(batch)
+            rng, k = jax.random.split(rng)
+            state, loss = proc._train_fn(state, V, graph, labels, k)
+            done += 1
+            if done >= batches:
+                break
+        float(loss)
+        elapsed = time.perf_counter() - start
+        nps = done * proc.sampler.groups * proc.sampler.batch_size / elapsed
+        print(
+            f"[bench] sampled procedure (fanouts 10x10, B=256, arxiv "
+            f"scale): {nps:,.0f} target nodes/s "
+            f"({done} steps incl. host sampling)", file=sys.stderr,
+        )
+        return nps
+
+
+MFU_GATE = 0.85  # implied MFU above this is a measurement artifact
+
+
 def main() -> None:
     quick = "--quick" in sys.argv  # single-config fast run (ADVICE r1)
     failed: list[str] = []
@@ -421,7 +683,7 @@ def main() -> None:
     for impl, dt in sweep:
         name = f"{impl}+{dt or 'f32'}"
         try:
-            configs[name], flops_by_cfg[name] = retry(
+            configs[name], flops_by_cfg[name], _ = retry(
                 lambda i=impl, d=dt: measure_tpu(i, d), label=f"dense {name}"
             )
         except Exception as err:
@@ -439,19 +701,49 @@ def main() -> None:
     # Headline: re-measure with scan_steps=10 (the scan_steps fused-
     # dispatch product path) — per-step dispatch through the tunnel costs
     # more host round-trip than the device step itself, so the scanned
-    # number is the honest device throughput. The per-dispatch ranking is
-    # dominated by that overhead and does NOT predict the scanned
-    # ranking, so both leading candidates are scanned and the best wins.
+    # number is the honest device throughput. Each scanned candidate is
+    # profiler-traced and MFU-gated: a window whose implied MFU exceeds
+    # MFU_GATE is physically impossible (VERDICT r3: a 2.37-MFU window
+    # shipped as the round-3 headline) — re-measure once, and if it
+    # persists the config lands in failed_configs, never the headline.
+    import tempfile
+
     scanned: dict[str, float] = {}
+    scan_checks: dict[str, dict] = {}
     candidates = {best_name} | ({"pallas+bfloat16"} if configs else set())
     for name in sorted(c for c in candidates if c in configs):
         impl = name.split("+")[0]
         dt = None if name.endswith("+f32") else name.split("+")[1]
+        step_flops = flops_by_cfg.get(name)
+
+        def run(i=impl, d=dt):
+            with tempfile.TemporaryDirectory() as tmp:
+                return measure_tpu(i, d, scan_k=10, profile_dir=tmp)
+
         try:
-            scanned[name], _ = retry(
-                lambda i=impl, d=dt: measure_tpu(i, d, scan_k=10),
-                label=f"scanned {name}",
+            steps_s, _, checks = retry(run, label=f"scanned {name}")
+            implied = (
+                step_flops * steps_s / peak_flops
+                if step_flops and peak_flops
+                else None
             )
+            if implied is not None and implied > MFU_GATE:
+                print(
+                    f"[bench] scanned {name} implies MFU {implied:.2f} > "
+                    f"{MFU_GATE} — re-measuring", file=sys.stderr,
+                )
+                steps_s, _, checks = retry(run, label=f"scanned {name} (re)")
+                implied = step_flops * steps_s / peak_flops
+                if implied > MFU_GATE:
+                    print(
+                        f"[bench] scanned {name} STILL implies MFU "
+                        f"{implied:.2f} — discarded as a measurement "
+                        "artifact", file=sys.stderr,
+                    )
+                    failed.append(f"implausible_mfu:{name}")
+                    continue
+            scanned[name] = steps_s
+            scan_checks[name] = checks
         except Exception as err:
             print(f"[bench] scanned {name} failed: {err}", file=sys.stderr)
             failed.append(f"scanned:{name}")
@@ -466,16 +758,37 @@ def main() -> None:
     if step_flops and peak_flops and headline_steps:
         mfu = round(step_flops * headline_steps / peak_flops, 4)
 
+    # Profiler cross-check for the headline: device ms/dispatch from the
+    # trace vs the timed window. "ok" within 2x, "mismatch" outside,
+    # "unavailable" when the tunnel yields no TPU plane.
+    profiler_check = None
+    headline_checks = scan_checks.get(scanned_best) if scanned_best else None
+    if headline_checks:
+        prof = headline_checks.get("profiler_s_per_dispatch")
+        win = headline_checks.get("window_s_per_dispatch")
+        if prof and win:
+            ratio = win / prof
+            profiler_check = "ok" if 0.5 <= ratio <= 2.0 else "mismatch"
+            if profiler_check == "mismatch":
+                print(
+                    f"[bench] WARNING: profiler device time "
+                    f"{prof * 1e3:.2f} ms/dispatch vs window "
+                    f"{win * 1e3:.2f} ms/dispatch", file=sys.stderr,
+                )
+                failed.append("profiler_mismatch")
+        else:
+            profiler_check = "unavailable"
+
     # Larger-N shape (stderr table only; same metric definition).
     big = {}
     if not quick:
         for impl, dt in (("pallas", "bfloat16"), ("xla", "bfloat16")):
             try:
-                s, _ = retry(
+                s, _, _ = retry(
                     lambda i=impl, d=dt: measure_tpu(i, d, b=2, n=1024),
                     label=f"large-N {impl}+{dt}",
                 )
-                big[f"{impl}+{dt}"] = round(s * edges_per_step(2, 1024), 1)
+                big[f"{impl}+{dt}"] = round(s * adj_entries_per_step(2, 1024), 1)
             except Exception as err:
                 print(f"[bench] large-N dense failed: {err}", file=sys.stderr)
                 failed.append(f"large_n:{impl}+{dt}")
@@ -489,6 +802,32 @@ def main() -> None:
         print(f"[bench] sparse side-metric failed: {err}", file=sys.stderr)
         failed.append("sparse")
 
+    # Product-procedure measurements (BASELINE configs 3-4 as the product
+    # runs them — VERDICT r3 missing #3).
+    full_graph_eps = sampled_nps = None
+    if not quick:
+        data = None
+        try:
+            data = retry(arxiv_scale_data, label="arxiv-scale data")
+        except Exception as err:
+            print(f"[bench] arxiv data build failed: {err}", file=sys.stderr)
+            failed.append("product_data")
+        if data is not None:
+            try:
+                full_graph_eps = retry(
+                    lambda: measure_full_graph(data), label="full-graph proc"
+                )
+            except Exception as err:
+                print(f"[bench] full-graph proc failed: {err}", file=sys.stderr)
+                failed.append("full_graph_proc")
+            try:
+                sampled_nps = retry(
+                    lambda: measure_sampled(data), label="sampled proc"
+                )
+            except Exception as err:
+                print(f"[bench] sampled proc failed: {err}", file=sys.stderr)
+                failed.append("sampled_proc")
+
     try:
         baseline_steps = measure_torch_baseline()
     except Exception as err:  # baseline unavailable: report absolute only
@@ -496,7 +835,7 @@ def main() -> None:
         baseline_steps = None
         failed.append("torch_baseline")
 
-    value = headline_steps * edges_per_step() if headline_steps else None
+    value = headline_steps * adj_entries_per_step() if headline_steps else None
     vs = (
         round(headline_steps / baseline_steps, 3)
         if headline_steps and baseline_steps
@@ -505,9 +844,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "dropedge_train_edge_throughput",
+                "metric": "dropedge_train_dense_adj_throughput",
                 "value": round(value, 1) if value else None,
-                "unit": "edges/s/chip",
+                "unit": "adj_entries/s/chip",
                 "vs_baseline": vs,
                 "mfu": mfu,
                 "best_config": scanned_best or best_name,
@@ -516,13 +855,25 @@ def main() -> None:
                 }
                 or None,
                 "steps_per_s": {k: round(v, 2) for k, v in configs.items()},
-                "edges_per_s_N1024": big or None,
+                "headline_checks": {
+                    k: round(v * 1e3, 4) if isinstance(v, float) else v
+                    for k, v in (headline_checks or {}).items()
+                }
+                or None,
+                "profiler_check": profiler_check,
+                "dense_adj_entries_per_s_N1024": big or None,
                 "sparse_edges_per_s": round(sparse_eps, 1) if sparse_eps else None,
                 "sparse_hbm_frac": round(sparse_frac, 3) if sparse_frac else None,
                 "sparse_gather_frac": round(sparse_gather_frac, 3)
                 if sparse_gather_frac
                 else None,
                 "sparse_impl": sparse_impl,
+                "full_graph_edges_per_s": round(full_graph_eps, 1)
+                if full_graph_eps
+                else None,
+                "sampled_target_nodes_per_s": round(sampled_nps, 1)
+                if sampled_nps
+                else None,
                 "failed_configs": failed or None,
             }
         )
