@@ -79,7 +79,10 @@ class FullGraphProcedure(BaseProcedure):
         val_labels = np.where(data.val_mask, labels, -100)
         if self._partitioned:
             from grl_tpu.parallel.graph_partition import partition_graph
-            from grl_tpu.parallel.sharded_flagship import pad_node_arrays
+            from grl_tpu.parallel.sharded_flagship import (
+                pad_node_arrays,
+                scatter_node_arrays,
+            )
 
             self.part = partition_graph(
                 np.asarray(data.senders), np.asarray(data.receivers),
@@ -87,15 +90,34 @@ class FullGraphProcedure(BaseProcedure):
                 num_nodes=len(data.features),
                 num_relations=data.num_relations,
                 num_shards=int(self.mesh.shape["data"]),
+                # Degree-balanced node->shard assignment bounds the
+                # per-cell padding on skewed (power-law) graphs; the node
+                # permutation is applied to features/labels below, so
+                # training/eval numerics are unchanged.
+                balance=bool(
+                    self.config.get_path("parallel.balance_partition", False)
+                ),
             )
-            feats, self._train_np = pad_node_arrays(
-                np.asarray(data.features, np.float32), train_labels,
-                self.part.num_nodes,
-            )
-            _, self._val_np = pad_node_arrays(
-                np.asarray(data.features, np.float32), val_labels,
-                self.part.num_nodes,
-            )
+            if self.part.node_perm is not None:
+                feats, self._train_np = scatter_node_arrays(
+                    self.part.node_perm,
+                    np.asarray(data.features, np.float32), train_labels,
+                    self.part.num_nodes,
+                )
+                _, self._val_np = scatter_node_arrays(
+                    self.part.node_perm,
+                    np.asarray(data.features, np.float32), val_labels,
+                    self.part.num_nodes,
+                )
+            else:
+                feats, self._train_np = pad_node_arrays(
+                    np.asarray(data.features, np.float32), train_labels,
+                    self.part.num_nodes,
+                )
+                _, self._val_np = pad_node_arrays(
+                    np.asarray(data.features, np.float32), val_labels,
+                    self.part.num_nodes,
+                )
             self.graph = None
             self.features = jnp.asarray(feats)
             self.train_labels = jnp.asarray(self._train_np)
@@ -105,10 +127,13 @@ class FullGraphProcedure(BaseProcedure):
             impl = getattr(model, "kernel_impl", "xla")
             # Plan the fused sparse-attention kernel whenever the model
             # will run sparse attention on this static graph.
+            # Attention fusion is planned independently of the
+            # aggregation kernel choice, so kernel_impl='xla' models with
+            # sparse attention still get the fused attention kernel
+            # (ADVICE r3 #4).
             plan_atten = bool(
                 getattr(model, "use_attention", False)
                 and getattr(model, "attention_impl", "") == "sparse"
-                and impl != "xla"
             )
             if impl != "xla" or plan_atten:
                 # Config-reachable TPU sparse path: the same `kernel_impl`
@@ -129,32 +154,42 @@ class FullGraphProcedure(BaseProcedure):
             self.val_labels = jnp.asarray(val_labels)
         self._train_fn = None
         self._eval_fn = None
+        self._step_body = None
+        self._scan_cache: Dict[int, Any] = {}
         # Fuse K consecutive steps into one dispatch (config: scan_steps).
         self._scan_k = max(1, int(self.config.get("scan_steps", 1)))
 
-    def _maybe_scan(self, step_body):
-        """Wrap the per-step body in ``lax.scan`` over ``scan_steps`` rng
-        draws, jitted with a donated state carry.
+    def _scan_fn(self, K: int):
+        """Jitted dispatch advancing exactly ``K`` optimizer steps (cached
+        per K): ``lax.scan`` of the step body over K rng draws with a
+        donated state carry.
 
         Per-step dispatch pays a host round-trip between steps that can
         exceed the device step itself (measured ~1.7 ms overhead vs a
         ~1.2 ms flagship device step through the TPU tunnel —
         docs/model-performance.md); fusing K steps amortizes it to 1/K.
-        ``scan_steps=1`` (default) keeps plain per-step dispatch.
+        ``K=1`` keeps plain per-step dispatch. A final partial chunk uses
+        a remainder-K scan so training runs EXACTLY config num_epochs
+        steps (ADVICE r3 #3 — the loop previously rounded up to K).
         """
-        K = self._scan_k
-        if K <= 1:
-            return jax.jit(step_body, donate_argnums=(0,))
+        if K not in self._scan_cache:
+            step_body = self._step_body
+            if K <= 1:
+                self._scan_cache[K] = jax.jit(step_body, donate_argnums=(0,))
+            else:
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def scanned(state, V, labels, rng):
-            def body(st, r):
-                return step_body(st, V, labels, r)
+                @partial(jax.jit, donate_argnums=(0,))
+                def scanned(state, V, labels, rng):
+                    def body(st, r):
+                        return step_body(st, V, labels, r)
 
-            state, losses = jax.lax.scan(body, state, jax.random.split(rng, K))
-            return state, losses[-1]
+                    state, losses = jax.lax.scan(
+                        body, state, jax.random.split(rng, K)
+                    )
+                    return state, losses[-1]
 
-        return scanned
+                self._scan_cache[K] = scanned
+        return self._scan_cache[K]
 
     def _ensure_initialized(self) -> None:
         if self._partitioned:
@@ -201,7 +236,8 @@ class FullGraphProcedure(BaseProcedure):
                     loss,
                 )
 
-            train_step = self._maybe_scan(step_body)
+            self._step_body = step_body
+            train_step = self._scan_fn(self._scan_k)
 
             @jax.jit
             def eval_step(state: TrainState, V, labels):
@@ -270,7 +306,8 @@ class FullGraphProcedure(BaseProcedure):
                     loss,
                 )
 
-            train_fn = self._maybe_scan(step_body)
+            self._step_body = step_body
+            train_fn = self._scan_fn(self._scan_k)
 
             def eval_fn(state: TrainState, V, labels):
                 logits = fwd(state.params, state.constants, V)
@@ -290,17 +327,26 @@ class FullGraphProcedure(BaseProcedure):
         edges = int(np.asarray(mask).sum())
         start = time.time()
         K = self._scan_k
-        # With scan_steps=K each dispatch advances K epochs (full-graph
-        # steps); epochs round up to a multiple of K.
+        # Each dispatch advances min(K, remaining) epochs (full-graph
+        # steps); the final chunk is a remainder-K scan, so training runs
+        # EXACTLY num_epochs steps.
         total = 0
         for first in range(0, num_epochs, K):
+            k_eff = min(K, num_epochs - first)
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, loss = self._train_fn(
+            fn = self._train_fn if k_eff == K else self._scan_fn(k_eff)
+            self.state, loss = fn(
                 self.state, self.features, self.train_labels, step_rng
             )
-            epoch = first + K - 1
+            epoch = first + k_eff - 1
             total = epoch + 1
-            if first // 10 != (first + K) // 10 or first + K >= num_epochs:
+            # Eval on the first chunk (the epoch-0 baseline metric), on
+            # every crossing of a 10-epoch boundary, and at the end.
+            if (
+                first == 0
+                or first // 10 != (first + k_eff) // 10
+                or first + k_eff >= num_epochs
+            ):
                 acc = float(self._eval_fn(self.state, self.features, self.val_labels))
                 best_acc = max(best_acc, acc)
                 self.tb_writer.add_scalar("val_accuracy", acc, epoch)
