@@ -1,0 +1,116 @@
+"""Plan-time node reordering for gather locality.
+
+The sparse aggregation's hot loop is row gathers of node features
+(grl_tpu/ops/ell.py); on TPU the gather rate depends on index locality
+(random HBM rows pay row-activation misses — see the measured sweep in
+docs/model-performance.md and scripts/probe_gather.py). A bandwidth-
+reducing node order makes each receiver's sender rows land near each
+other AND near the receiver's own row, so consecutive table gathers hit
+nearby HBM rows.
+
+Reverse Cuthill–McKee on the symmetrized adjacency is the classic
+bandwidth-reducing order; on community-structured graphs (the SBM
+benchmarks, citation networks) its BFS growth keeps whole communities
+contiguous. The permutation is applied ONCE at procedure setup (features
+and labels are scattered through it, the edge list is relabeled), so the
+training loop pays zero per-step cost; outputs stay in the reordered
+space, consistent with the permuted labels.
+
+The reference has no analog (its graphs are per-page dense paddings);
+anchor for the op this accelerates: gnn/models/networks/robust_gcn.py:45-47.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def rcm_order(
+    senders: np.ndarray, receivers: np.ndarray, num_nodes: int
+) -> np.ndarray:
+    """Reverse Cuthill–McKee permutation; returns ``perm`` mapping
+    ORIGINAL node id -> new id (row ``perm[i]`` of the reordered arrays
+    holds original node ``i``)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    ones = np.ones(len(senders), np.int8)
+    adj = coo_matrix(
+        (ones, (senders, receivers)), shape=(num_nodes, num_nodes)
+    ).tocsr()
+    sym = adj + adj.T
+    order = np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True))
+    perm = np.empty(num_nodes, np.int64)
+    perm[order] = np.arange(num_nodes)
+    return perm
+
+
+def lpa_order(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    rounds: int = 30,
+    seed: int = 0,
+) -> np.ndarray:
+    """Label-propagation community ordering; returns ``perm`` mapping
+    ORIGINAL node id -> new id, nodes grouped by detected community.
+
+    RCM's BFS level structure fails on expander-like community graphs
+    (homophilous SBMs, citation/social networks): the frontier mixes
+    communities and the bandwidth barely drops (measured: frac-of-edges-
+    within-4096 rows went 0.02 -> 0.05 under RCM on the arxiv-scale SBM,
+    but 0.02 -> 0.78 under 30-round LPA vs the 0.81 true-community
+    oracle). Synchronous LPA, fully vectorized: each round every node
+    adopts the plurality label among its (symmetrized) neighbors, ties
+    broken by jitter; ~0.7 s/round at 169k nodes / 1.2M edges.
+    """
+    s = np.concatenate([senders, receivers]).astype(np.int64)
+    r = np.concatenate([receivers, senders]).astype(np.int64)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    rng = np.random.RandomState(seed)
+    for _ in range(rounds):
+        lab_n = labels[s]
+        # Plurality label per receiver: sort (receiver, label) pairs,
+        # run-length count, keep each receiver's max-count pair.
+        order = np.lexsort((lab_n, r))
+        rr, ll = r[order], lab_n[order]
+        new_pair = np.ones(len(rr), bool)
+        new_pair[1:] = (rr[1:] != rr[:-1]) | (ll[1:] != ll[:-1])
+        pair_ids = np.cumsum(new_pair) - 1
+        counts = np.bincount(pair_ids).astype(np.float64)
+        pr, pl = rr[new_pair], ll[new_pair]
+        score = counts + rng.rand(len(counts))
+        best_score = np.full(num_nodes, -1.0)
+        np.maximum.at(best_score, pr, score)
+        best = np.full(num_nodes, -1, np.int64)
+        sel = score == best_score[pr]
+        best[pr[sel]] = pl[sel]
+        labels = np.where(best >= 0, best, labels)
+    order = np.argsort(labels, kind="stable")
+    perm = np.empty(num_nodes, np.int64)
+    perm[order] = np.arange(num_nodes)
+    return perm
+
+
+def window_locality(
+    senders: np.ndarray, receivers: np.ndarray, window: int
+) -> float:
+    """Fraction of edges whose endpoints are within ``window`` rows —
+    the figure of merit for windowed gather kernels (diagnostic)."""
+    if len(senders) == 0:
+        return 1.0
+    gap = np.abs(
+        np.asarray(senders, np.int64) - np.asarray(receivers, np.int64)
+    )
+    return float((gap < window).mean())
+
+
+def bandwidth(
+    senders: np.ndarray, receivers: np.ndarray
+) -> int:
+    """Max |sender - receiver| — the locality figure of merit a
+    reordering minimizes (diagnostic)."""
+    if len(senders) == 0:
+        return 0
+    return int(np.max(np.abs(np.asarray(senders) - np.asarray(receivers))))

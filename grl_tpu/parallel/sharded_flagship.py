@@ -45,6 +45,21 @@ def pad_node_arrays(
     return features, labels
 
 
+def scatter_node_arrays(
+    node_perm: np.ndarray, features: np.ndarray, labels: np.ndarray,
+    num_nodes_padded: int, label_pad: int = -100,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Place node arrays in partition order for a degree-BALANCED plan
+    (``PartitionedGraph.node_perm``): row ``node_perm[i]`` holds original
+    node ``i``; unassigned slots are zero features / ignored labels, so
+    the masked loss and accuracy are unchanged."""
+    out_f = np.zeros((num_nodes_padded, features.shape[1]), features.dtype)
+    out_l = np.full(num_nodes_padded, label_pad, labels.dtype)
+    out_f[node_perm] = features
+    out_l[node_perm] = labels
+    return out_f, out_l
+
+
 def make_partitioned_model_step(
     model: Any,
     mesh: Mesh,
