@@ -252,6 +252,22 @@ def measure_tpu(
         rng, k = jax.random.split(rng)
         params, opt_state, s = compiled(params, opt_state, k, s)
     float(s)
+    # Null-dispatch sync baseline: the tunnel's per-call dispatch +
+    # host-fetch overhead, measured on a trivial chained op. The tunnel's
+    # sync latency varies run to run (measured 1.7 ms to ~25 ms under
+    # remote-compile backlog) and must be subtracted from t1 before
+    # judging the pipelined window, which pays it only once.
+    null_step = jax.jit(lambda s: jnp.mod(s * 1.000001, 1.0) + 0.5)
+    s_null = jnp.float32(1.0)
+    for _ in range(2):
+        s_null = null_step(s_null)
+    float(s_null)
+    t0 = float("inf")
+    for _ in range(5):
+        start = time.perf_counter()
+        s_null = null_step(s_null)
+        float(s_null)
+        t0 = min(t0, time.perf_counter() - start)
     # Cross-check 1: single-dispatch latency, hard-synced per dispatch.
     t1 = float("inf")
     for _ in range(5):
@@ -272,18 +288,24 @@ def measure_tpu(
         float(s)
         best_elapsed = min(best_elapsed, time.perf_counter() - start)
     per_dispatch = best_elapsed / ITERS
-    checks: dict = {"t1": t1, "window_s_per_dispatch": per_dispatch}
-    if per_dispatch < t1 / 4.0:
-        # A pipelined window hides the round-trip, not the device time;
-        # >4x under single-dispatch latency means the window did not
-        # actually execute its dispatches. Fall back to the synced rate.
+    checks: dict = {
+        "t1": t1, "t0_sync": t0, "window_s_per_dispatch": per_dispatch,
+    }
+    # A pipelined window legitimately hides the per-call sync/round-trip
+    # overhead (~t0, paid once per window) but not the DEVICE time; a
+    # window >4x under the sync-corrected single-dispatch device time
+    # means dispatches did not actually execute. Fall back to the
+    # corrected synced rate then.
+    device_t1 = max(t1 - t0, 0.0)
+    if device_t1 > 0 and per_dispatch < device_t1 / 4.0:
         print(
             f"[bench] WARNING: window {per_dispatch * 1e3:.3f} ms/dispatch "
-            f"vs single-dispatch {t1 * 1e3:.3f} ms — implausible window "
-            "discarded, using synced single-dispatch rate",
+            f"vs sync-corrected single-dispatch {device_t1 * 1e3:.3f} ms "
+            f"(t1 {t1 * 1e3:.2f}, sync {t0 * 1e3:.2f}) — implausible "
+            "window discarded, using the corrected synced rate",
             file=sys.stderr,
         )
-        per_dispatch = t1
+        per_dispatch = device_t1
         checks["window_discarded"] = True
     # Cross-check 2: device busy time from a profiler trace of one window.
     if profile_dir is not None:
@@ -305,7 +327,8 @@ def measure_tpu(
         f"dtype={compute_dtype or 'float32'}"
         + (f" scan={scan_k}" if scan_k > 1 else "")
         + f" {steps_s:.2f} steps/s"
-        + f" (t1={t1 * 1e3:.2f} ms, window={per_dispatch * 1e3:.2f} ms"
+        + f" (t1={t1 * 1e3:.2f} ms, sync={t0 * 1e3:.2f} ms, "
+        + f"window={per_dispatch * 1e3:.2f} ms"
         + (
             f", profiler={checks['profiler_s_per_dispatch'] * 1e3:.2f} ms"
             if "profiler_s_per_dispatch" in checks
@@ -628,8 +651,7 @@ def measure_sampled(data, batches: int = 20) -> float:
             use_attention=False,
         )
         proc = SampledGraphProcedure(model, config, data)
-        np_rng = np.random.RandomState(0)
-        it = iter(proc.sampler.epoch_batches(np_rng, data.train_mask))
+        it = iter(proc._batches(data.train_mask))
         first = next(it)
         proc._ensure_initialized(first)
         rng = jax.random.PRNGKey(0)

@@ -91,28 +91,39 @@ class DataLoader:
         yield from self._prefetching_iter()
 
     def _prefetching_iter(self) -> Iterator[Dict[str, Any]]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        error_holder: List[BaseException] = []
+        yield from prefetch_iter(
+            (self._make_batch(idx) for idx in self._batch_indices()),
+            self.prefetch,
+        )
 
-        def producer() -> None:
-            try:
-                for idx in self._batch_indices():
-                    q.put(self._make_batch(idx))
-            except BaseException as err:  # surface worker errors to consumer
-                error_holder.append(err)
-            finally:
-                q.put(sentinel)
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error_holder:
-                    raise error_holder[0]
-                return
-            yield item
+def prefetch_iter(iterable, depth: int = 2):
+    """Background-thread prefetch of ANY iterator: the producer (host
+    sampling / collate / IO) runs ``depth`` items ahead of the consumer,
+    overlapping with device compute. Worker exceptions re-raise in the
+    consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    error_holder: List[BaseException] = []
+
+    def producer() -> None:
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as err:  # surface worker errors to consumer
+            error_holder.append(err)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error_holder:
+                raise error_holder[0]
+            return
+        yield item
 
 
 class BaseDataLoader:

@@ -237,11 +237,16 @@ class KVProcedure(BaseProcedure):
         """Fused dispatch: buffer same-shape batches until scan_steps of
         them are ready, then run them as ONE jitted lax.scan dispatch
         (build_scanned_train_step). Bucketed padding keeps the number of
-        distinct shapes small, so buffers fill fast; leftover buffers and
-        sparse COO batches drain through the per-step path. Within a
-        shape bucket the update order is the arrival order; across
-        buckets updates are grouped — the same SGD stream a shuffled
-        loader already randomizes.
+        distinct shapes small, so buffers fill fast; leftover buffers
+        drain through the per-step path. Sparse COO batches scan too:
+        a RelationalGraph is a flax.struct whose edge arrays stack on a
+        leading K axis while the static metadata rides the treedef, so
+        lax.scan slices per-step graphs natively (mesh-sharded sparse
+        batches keep per-step dispatch — their merged edge arrays have
+        no leading batch axis to shard). Within a shape bucket the
+        update order is the arrival order; across buckets updates are
+        grouped — the same SGD stream a shuffled loader already
+        randomizes.
         """
         import jax.numpy as jnp
 
@@ -253,12 +258,18 @@ class KVProcedure(BaseProcedure):
             Vs, As, Ls, rngs, lams, steps = (
                 [it[i] for it in items] for i in range(6)
             )
+            if isinstance(As[0], jnp.ndarray):
+                As_stacked = self._stack_for_scan(As)
+            else:  # RelationalGraph: stack array leaves, keep statics
+                As_stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *As
+                )
             # Profiler hooks bracket the fused dispatch so the
             # logging.profile config window still captures traces when
             # scan_steps > 1 (ADVICE r3 #2).
             self.profiler.maybe_start(self._applied_step)
             self.state, losses, cms = self._train_scan_fn(
-                self.state, self._stack_for_scan(Vs), self._stack_for_scan(As),
+                self.state, self._stack_for_scan(Vs), As_stacked,
                 self._stack_for_scan(Ls), jnp.stack(rngs), jnp.stack(lams),
             )
             self._scanned_dispatches += 1
@@ -280,9 +291,9 @@ class KVProcedure(BaseProcedure):
             self.rng, step_rng = jax.random.split(self.rng)
             gstep = self.global_step
             self.global_step += 1
-            if not isinstance(A, jnp.ndarray):
-                # Sparse COO adjacency: per-step dispatch (a stacked
-                # RelationalGraph would need per-bucket kernel plans).
+            if not isinstance(A, jnp.ndarray) and self.mesh is not None:
+                # Mesh-sharded sparse COO: per-step dispatch (the merged
+                # flat edge arrays carry no batch axis to shard).
                 self.state, loss, cm = self._train_fn(
                     self.state, V, A, labels, step_rng, lam
                 )
@@ -293,7 +304,16 @@ class KVProcedure(BaseProcedure):
                 )
                 self._maybe_step_checkpoint(epoch)
                 continue
-            key = (V.shape, A.shape, labels.shape)
+            if isinstance(A, jnp.ndarray):
+                key = (V.shape, A.shape, labels.shape)
+            else:
+                key = (
+                    V.shape, labels.shape,
+                    jax.tree_util.tree_structure(A),
+                    tuple(
+                        leaf.shape for leaf in jax.tree_util.tree_leaves(A)
+                    ),
+                )
             buffers.setdefault(key, []).append(
                 (V, A, labels, step_rng, lam, gstep)
             )

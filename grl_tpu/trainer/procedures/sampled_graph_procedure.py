@@ -54,6 +54,10 @@ class SampledGraphProcedure(BaseProcedure):
             batch_size=int(cfg.get("batch_size", 256)),
             groups=max(1, groups),
         )
+        # Host neighbor sampling overlaps device compute: a background
+        # thread runs `prefetch` batches ahead (config: sampler.prefetch;
+        # 0 disables).
+        self._prefetch = int(cfg.get("prefetch", 2))
         self.state = None
         self._train_fn = None
         self._eval_fn = None
@@ -140,9 +144,17 @@ class SampledGraphProcedure(BaseProcedure):
             self._eval_fn = eval_step
 
     # ------------------------------------------------------------------
+    def _batches(self, mask):
+        it = self.sampler.epoch_batches(self._np_rng, mask)
+        if self._prefetch <= 0:
+            return it
+        from grl_tpu.data.dataloader import prefetch_iter
+
+        return prefetch_iter(it, self._prefetch)
+
     def _eval_accuracy(self) -> float:
         correct = total = 0
-        for batch in self.sampler.epoch_batches(self._np_rng, self.data.val_mask):
+        for batch in self._batches(self.data.val_mask):
             V, graph, labels = self._place(batch)
             c, t = self._eval_fn(self.state, V, graph, labels)
             correct += int(c)
@@ -156,9 +168,7 @@ class SampledGraphProcedure(BaseProcedure):
         steps = 0
         for epoch in range(num_epochs):
             losses = []
-            for batch in self.sampler.epoch_batches(
-                self._np_rng, self.data.train_mask
-            ):
+            for batch in self._batches(self.data.train_mask):
                 self._ensure_initialized(batch)
                 V, graph, labels = self._place(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
