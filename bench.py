@@ -50,6 +50,23 @@ CHIP_PEAKS = {
 }
 
 
+def enable_compile_cache():
+    """Persistent compilation cache: a killed/retried bench run reuses
+    every executable the previous attempt already compiled — essential
+    through the tunnel, whose remote compile service can back up to
+    minutes per program."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception as err:
+        print(f"[bench] compile cache unavailable: {err}", file=sys.stderr)
+
+
 def detect_peaks():
     import jax
 
@@ -686,6 +703,7 @@ MFU_GATE = 0.85  # implied MFU above this is a measurement artifact
 def main() -> None:
     quick = "--quick" in sys.argv  # single-config fast run (ADVICE r1)
     failed: list[str] = []
+    enable_compile_cache()
 
     try:
         peak_flops, hbm_bps = retry(detect_peaks, label="device detect")
