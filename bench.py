@@ -673,16 +673,17 @@ def measure_sampled(data, batches: int = 20) -> float:
         proc._ensure_initialized(first)
         rng = jax.random.PRNGKey(0)
         state = proc.state
-        V, graph, labels = proc._place(first)
+        feats = proc._features_dev
+        nodes, graph, labels = proc._place(first)
         rng, k = jax.random.split(rng)
-        state, loss = proc._train_fn(state, V, graph, labels, k)
+        state, loss = proc._train_fn(state, feats, nodes, graph, labels, k)
         float(loss)  # warmup (compile) + hard sync
         done = 0
         start = time.perf_counter()
         for batch in it:
-            V, graph, labels = proc._place(batch)
+            nodes, graph, labels = proc._place(batch)
             rng, k = jax.random.split(rng)
-            state, loss = proc._train_fn(state, V, graph, labels, k)
+            state, loss = proc._train_fn(state, feats, nodes, graph, labels, k)
             done += 1
             if done >= batches:
                 break

@@ -38,7 +38,12 @@ from grl_tpu.data.large_graph import LargeGraphData
 class SampledBatch(NamedTuple):
     """One group-stacked minibatch; all arrays lead with the group axis G.
 
-    features  (G, maxN, F)
+    features  (G, maxN, F) — host-materialized rows, or (G, maxN, 0)
+              when the sampler runs with with_features=False (the
+              device-resident-features path ships ``nodes`` instead:
+              ~100 KB of indices per step vs ~15 MB of rows through the
+              host->device link)
+    nodes     (G, maxN) global node ids per tree slot, -1 = padding
     labels    (G, maxN) — target labels at level-0 slots, -100 elsewhere
     senders   (G, maxE) local (tree-position) ids
     receivers (G, maxE)
@@ -48,6 +53,7 @@ class SampledBatch(NamedTuple):
     """
 
     features: np.ndarray
+    nodes: np.ndarray
     labels: np.ndarray
     senders: np.ndarray
     receivers: np.ndarray
@@ -64,12 +70,17 @@ class NeighborSampler:
         batch_size: int = 256,
         groups: int = 1,
         label_pad: int = -100,
+        with_features: bool = True,
     ):
         self.data = data
         self.fanouts = tuple(int(f) for f in fanouts)
         self.batch_size = int(batch_size)
         self.groups = int(groups)
         self.label_pad = int(label_pad)
+        # with_features=False skips the host feature gather entirely —
+        # consumers gather rows on-device from resident features via the
+        # ``nodes`` ids (SampledGraphProcedure's default path).
+        self.with_features = bool(with_features)
 
         # Receiver-major CSR over in-edges, built once.
         N = len(data.features)
@@ -133,12 +144,18 @@ class NeighborSampler:
             e_mask[e_off : e_off + n_e] = valid.ravel()
             e_off += n_e
 
-        feats = self.data.features[np.maximum(nodes, 0)].astype(np.float32)
-        feats[nodes < 0] = 0.0
+        if self.with_features:
+            feats = self.data.features[np.maximum(nodes, 0)].astype(np.float32)
+            feats[nodes < 0] = 0.0
+        else:
+            feats = np.zeros((self.num_nodes, 0), np.float32)
         labels = np.full(self.num_nodes, self.label_pad, np.int32)
         tmask = targets >= 0
         labels[: self.batch_size][tmask] = self.data.labels[targets[tmask]]
-        return feats, labels, e_send, e_recv, e_rel, e_w, e_mask
+        return (
+            feats, nodes.astype(np.int32), labels,
+            e_send, e_recv, e_rel, e_w, e_mask,
+        )
 
     def sample(self, rng: np.random.RandomState, targets: np.ndarray) -> SampledBatch:
         """targets (G, batch_size) -> group-stacked SampledBatch."""

@@ -53,6 +53,15 @@ class SampledGraphProcedure(BaseProcedure):
             fanouts=tuple(cfg.get("fanouts", (10, 10))),
             batch_size=int(cfg.get("batch_size", 256)),
             groups=max(1, groups),
+            # Features stay RESIDENT on device (placed once below); each
+            # step ships only the sampled node ids (~100 KB) instead of
+            # materialized feature rows (~15 MB) — through the TPU
+            # tunnel the row transfer dominated the step (measured 526
+            # target nodes/s before, host link-bound).
+            with_features=False,
+        )
+        self._features_dev = jnp.asarray(
+            np.asarray(self.data.features, np.float32)
         )
         # Host neighbor sampling overlaps device compute: a background
         # thread runs `prefetch` batches ahead (config: sampler.prefetch;
@@ -66,7 +75,7 @@ class SampledGraphProcedure(BaseProcedure):
     # ------------------------------------------------------------------
     def _place(self, batch: SampledBatch):
         arrays = {
-            "V": batch.features,
+            "nodes": batch.nodes.astype(np.int32),
             "labels": batch.labels,
             "senders": batch.senders.astype(np.int32),
             "receivers": batch.receivers.astype(np.int32),
@@ -74,19 +83,29 @@ class SampledGraphProcedure(BaseProcedure):
             "weights": batch.weights,
             "mask": batch.mask,
         }
-        placed = self.place_batch(arrays, pad_values={"labels": -100})
+        placed = self.place_batch(
+            arrays, pad_values={"labels": -100, "nodes": -1}
+        )
         G, maxN = placed["labels"].shape
         graph = batch_relational_coo(
             placed["senders"], placed["receivers"], placed["relations"],
             placed["weights"], placed["mask"],
             nodes_per_sample=maxN, num_relations=self.data.num_relations,
         )
-        V_flat = placed["V"].reshape(G * maxN, -1)
-        return V_flat, graph, placed["labels"]
+        nodes_flat = placed["nodes"].reshape(G * maxN)
+        return nodes_flat, graph, placed["labels"]
+
+    def _materialize(self, features, nodes):
+        """On-device feature rows for the tree slots: gather from the
+        resident table; padding slots (-1) are exact zeros, matching the
+        host-materialized path bit-for-bit."""
+        V = jnp.take(features, jnp.maximum(nodes, 0), axis=0)
+        return V * (nodes >= 0).astype(V.dtype)[:, None]
 
     def _ensure_initialized(self, example: SampledBatch) -> None:
         if self.state is None:
-            V, graph, _ = self._place(example)
+            nodes, graph, _ = self._place(example)
+            V = self._materialize(self._features_dev, nodes)
             variables = init_model(self.model, self.rng, (V, graph), train=False)
             self.logger.info(
                 f"Sampled-graph model params: "
@@ -105,9 +124,15 @@ class SampledGraphProcedure(BaseProcedure):
             self.state = self._load_prev_checkpoint(self.state)
         if self._train_fn is None:
             model, tx = self.model, self.tx
+            materialize = self._materialize
 
             @partial(jax.jit, donate_argnums=(0,))
-            def train_step(state: TrainState, V, graph, labels, rng):
+            def train_step(state: TrainState, features, nodes, graph,
+                           labels, rng):
+                # The feature gather runs INSIDE the step — fused with
+                # the forward, no extra dispatch, no host row transfer.
+                V = materialize(features, nodes)
+
                 def loss_fn(params):
                     variables = {"params": params}
                     if state.constants is not None:
@@ -130,7 +155,8 @@ class SampledGraphProcedure(BaseProcedure):
                 )
 
             @jax.jit
-            def eval_step(state: TrainState, V, graph, labels):
+            def eval_step(state: TrainState, features, nodes, graph, labels):
+                V = materialize(features, nodes)
                 logits = model.apply(state.variables(), (V, graph), train=False)
                 logits = logits.reshape(*labels.shape, -1)
                 preds = jnp.argmax(logits, axis=-1)
@@ -155,8 +181,10 @@ class SampledGraphProcedure(BaseProcedure):
     def _eval_accuracy(self) -> float:
         correct = total = 0
         for batch in self._batches(self.data.val_mask):
-            V, graph, labels = self._place(batch)
-            c, t = self._eval_fn(self.state, V, graph, labels)
+            nodes, graph, labels = self._place(batch)
+            c, t = self._eval_fn(
+                self.state, self._features_dev, nodes, graph, labels
+            )
             correct += int(c)
             total += int(t)
         return correct / max(total, 1)
@@ -170,10 +198,11 @@ class SampledGraphProcedure(BaseProcedure):
             losses = []
             for batch in self._batches(self.data.train_mask):
                 self._ensure_initialized(batch)
-                V, graph, labels = self._place(batch)
+                nodes, graph, labels = self._place(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, loss = self._train_fn(
-                    self.state, V, graph, labels, step_rng
+                    self.state, self._features_dev, nodes, graph, labels,
+                    step_rng,
                 )
                 losses.append(float(loss))
                 steps += 1

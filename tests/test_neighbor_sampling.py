@@ -123,3 +123,56 @@ class TestSampledGraphProcedure:
         assert proc.sampler.groups == 4
         acc = proc()
         assert np.isfinite(acc) and acc > 0.4, acc
+
+
+class TestDeviceResidentFeatures:
+    def test_materialize_matches_host_features(self, sbm):
+        """The device-resident path (ship node ids, gather rows on device
+        — SampledGraphProcedure's default) reproduces the sampler's
+        host-materialized feature rows exactly, padding slots included."""
+        import jax.numpy as jnp
+
+        from grl_tpu.data.neighbor_sampler import NeighborSampler
+
+        s = NeighborSampler(sbm, fanouts=(4, 3), batch_size=32)
+        rng = np.random.RandomState(0)
+        targets = rng.randint(0, len(sbm.features), (1, 32))
+        targets[0, -3:] = -1  # padding targets
+        batch = s.sample(rng, targets)
+        feats_dev = jnp.asarray(sbm.features.astype(np.float32))
+        nodes = jnp.asarray(batch.nodes[0])
+        V = jnp.take(feats_dev, jnp.maximum(nodes, 0), axis=0)
+        V = V * (nodes >= 0).astype(V.dtype)[:, None]
+        np.testing.assert_array_equal(np.asarray(V), batch.features[0])
+
+    def test_procedure_uses_index_path(self, sbm, tmp_path):
+        """The procedure's sampler skips host feature materialization
+        (empty features, populated nodes) and still trains."""
+        from grl_tpu.config import ConfigDict
+        from grl_tpu.models import GraphCNNDropEdge
+        from grl_tpu.trainer.procedures import SampledGraphProcedure
+
+        config = ConfigDict(
+            {
+                "experiment_name": "sampled-resident",
+                "seed": 0,
+                "output_dir": str(tmp_path),
+                "num_epochs": 2,
+                "sampler": {"fanouts": [4, 3], "batch_size": 64},
+                "optimizer": {
+                    "type": "BuiltinOptimizer",
+                    "args": {"type_optimizer": "Adam", "lr": 0.01},
+                },
+                "logging": {"use_tensorboard": False},
+            }
+        )
+        model = GraphCNNDropEdge(
+            input_dim=sbm.features.shape[1], output_dim=sbm.num_classes,
+            num_edges=sbm.num_relations, net_size=32, use_attention=False,
+        )
+        proc = SampledGraphProcedure(model, config, sbm)
+        assert not proc.sampler.with_features
+        batch = next(iter(proc._batches(sbm.train_mask)))
+        assert batch.features.shape[-1] == 0 and batch.nodes.shape[-1] > 0
+        acc = proc()
+        assert np.isfinite(acc) and acc > 0.2, acc
