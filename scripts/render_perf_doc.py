@@ -53,7 +53,8 @@ def render(bench: dict, date: str) -> str:
             f"single-dispatch {checks.get('t1', float('nan')):.2f} "
             f"(null-dispatch sync {checks.get('t0_sync', float('nan')):.2f})"
             + (f", profiler device time {prof:.2f}" if prof else "")
-            + f"; profiler_check={bench.get('profiler_check')}. "
+            + f"; latency_check={bench.get('latency_check')}, "
+            f"profiler_check={bench.get('profiler_check')}. "
             "Windows are value-chained (chain scalar through every "
             "dispatch, host float() at window end) and MFU-gated at "
             "0.85 — see bench.py.\n"
