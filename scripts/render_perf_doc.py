@@ -33,7 +33,7 @@ def render(bench: dict, date: str) -> str:
     lines.append(fmt_steps(bench.get("steps_per_s")))
     scanned = bench.get("steps_per_s_scanned")
     if scanned:
-        lines.append("\n| Config (scan_steps=10, fused dispatch) | steps/s |\n|---|---|\n")
+        lines.append("\n| Config (fused scan dispatch) | steps/s |\n|---|---|\n")
         lines.append(fmt_steps(scanned))
     mfu = bench.get("mfu")
     checks = bench.get("headline_checks") or {}
