@@ -130,13 +130,21 @@ def parse_xplane_device_seconds(trace_dir: str) -> float | None:
     )
     if not paths:
         return None
-    try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
-    except Exception:
+    xplane_pb2 = None
+    for mod in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",  # TF 2.21
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "tensorboard_plugin_profile.protobuf.xplane_pb2",
+    ):
         try:
-            from tensorboard_plugin_profile.protobuf import xplane_pb2
+            import importlib
+
+            xplane_pb2 = importlib.import_module(mod)
+            break
         except Exception:
-            return None
+            continue
+    if xplane_pb2 is None:
+        return None
     total_ps = 0
     found = False
     for path in paths:
