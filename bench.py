@@ -647,11 +647,11 @@ def measure_full_graph(data, dispatches: int = 3) -> float:
         return eps
 
 
-def measure_sampled(data, batches: int = 20) -> float:
+def measure_sampled(data, dispatches: int = 4) -> float:
     """SampledGraphProcedure target-node throughput as the product runs
-    it (fanouts 10x10, B=256 — BASELINE config 4), INCLUDING the host
-    neighbor-sampling and H2D transfer each step pays. Returns target
-    nodes/s."""
+    it (fanouts 10x10, B=256, scan_steps=10 — BASELINE config 4),
+    INCLUDING the host neighbor-sampling, index H2D and the per-flush
+    loss fetch each fused dispatch pays. Returns target nodes/s."""
     import tempfile
 
     import jax
@@ -671,6 +671,7 @@ def measure_sampled(data, batches: int = 20) -> float:
                 "output_dir": tmp,
                 "num_epochs": 1,
                 "max_grad_norm": 5.0,
+                "scan_steps": 10,
                 "sampler": {"fanouts": [10, 10], "batch_size": 256},
                 "optimizer": {
                     "type": "BuiltinOptimizer",
@@ -681,34 +682,37 @@ def measure_sampled(data, batches: int = 20) -> float:
         )
         model = GraphCNNDropEdge(
             input_dim=128, output_dim=40, num_edges=1, net_size=256,
-            use_attention=False,
+            use_attention=False, compute_dtype="bfloat16",
         )
         proc = SampledGraphProcedure(model, config, data)
         it = iter(proc._batches(data.train_mask))
         first = next(it)
         proc._ensure_initialized(first)
-        rng = jax.random.PRNGKey(0)
-        state = proc.state
-        feats = proc._features_dev
-        nodes, graph, labels = proc._place(first)
-        rng, k = jax.random.split(rng)
-        state, loss = proc._train_fn(state, feats, nodes, graph, labels, k)
-        float(loss)  # warmup (compile) + hard sync
+        K = proc._scan_k
+
+        def fill(buffer, head=None):
+            if head is not None:
+                proc.rng, r = jax.random.split(proc.rng)
+                buffer.append((*proc._place(head), r))
+            while len(buffer) < K:
+                proc.rng, r = jax.random.split(proc.rng)
+                buffer.append((*proc._place(next(it)), r))
+
+        losses: list = []
+        buf: list = []
+        fill(buf, head=first)
+        proc._flush_scan(buf, losses)  # warmup (compile) + sync
         done = 0
         start = time.perf_counter()
-        for batch in it:
-            nodes, graph, labels = proc._place(batch)
-            rng, k = jax.random.split(rng)
-            state, loss = proc._train_fn(state, feats, nodes, graph, labels, k)
-            done += 1
-            if done >= batches:
-                break
-        float(loss)
+        for _ in range(dispatches):
+            fill(buf)
+            proc._flush_scan(buf, losses)  # syncs via the loss fetch
+            done += K
         elapsed = time.perf_counter() - start
         nps = done * proc.sampler.groups * proc.sampler.batch_size / elapsed
         print(
-            f"[bench] sampled procedure (fanouts 10x10, B=256, arxiv "
-            f"scale): {nps:,.0f} target nodes/s "
+            f"[bench] sampled procedure (fanouts 10x10, B=256, "
+            f"scan_steps={K}, arxiv scale): {nps:,.0f} target nodes/s "
             f"({done} steps incl. host sampling)", file=sys.stderr,
         )
         return nps

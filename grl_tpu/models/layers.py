@@ -17,11 +17,12 @@ import jax.numpy as jnp
 
 from grl_tpu.ops.relconv import drop_edge, relational_neighbor_aggregate
 from grl_tpu.ops.sparse import RelationalGraph, drop_edge_coo, relational_neighbor_coo
+from grl_tpu.ops.tree import TreeGraph, tree_neighbor_aggregate
 from grl_tpu.parallel.graph_partition import LocalShardGraph, _ring_aggregate_body
 
-Adjacency = Union[jnp.ndarray, RelationalGraph, LocalShardGraph]
+Adjacency = Union[jnp.ndarray, RelationalGraph, LocalShardGraph, TreeGraph]
 
-SparseAdjacency = (RelationalGraph, LocalShardGraph)
+SparseAdjacency = (RelationalGraph, LocalShardGraph, TreeGraph)
 
 Dtype = Any  # jnp dtype or None (inherit input dtype)
 
@@ -118,6 +119,12 @@ class GraphConv(nn.Module):
             else:
                 seed, rate = edge_keep
             neigh = A.kernel.neighbor_aggregate(V, seed, rate)
+            self_term = V if self_scale is None else V * self_scale[..., None]
+        elif isinstance(A, TreeGraph):
+            # Sampled-minibatch fast path: the tree's edge endpoints are
+            # positional constants, so aggregation is reshape+einsum —
+            # no gathers, no scatter-adds (grl_tpu/ops/tree.py).
+            neigh = tree_neighbor_aggregate(V, A, edge_keep)
             self_term = V if self_scale is None else V * self_scale[..., None]
         elif isinstance(A, RelationalGraph):
             neigh = relational_neighbor_coo(V, A, edge_keep)

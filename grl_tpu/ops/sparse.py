@@ -178,7 +178,9 @@ def drop_edge_coo(
         return None, None
     keep = 1.0 - rate
     k_edge, k_self = jax.random.split(key)
-    edge_mask = jax.random.bernoulli(k_edge, keep, graph.senders.shape)
+    # weights.shape == senders.shape on COO graphs; TreeGraph (implied
+    # endpoints, per-edge weights only) duck-types through this too.
+    edge_mask = jax.random.bernoulli(k_edge, keep, graph.weights.shape)
     self_mask = jax.random.bernoulli(k_self, keep, (graph.num_nodes,))
     scale = 1.0 / keep
     return edge_mask.astype(jnp.float32) * scale, self_mask.astype(jnp.float32) * scale

@@ -67,8 +67,21 @@ class SampledGraphProcedure(BaseProcedure):
         # thread runs `prefetch` batches ahead (config: sampler.prefetch;
         # 0 disables).
         self._prefetch = int(cfg.get("prefetch", 2))
+        # Positional-tree aggregation (grl_tpu/ops/tree.py): the tree's
+        # edge endpoints are compile-time constants, so GraphConv runs
+        # reshape+einsum instead of COO segment-sum scatter-adds.
+        # sampler.tree_aggregation: false falls back to the COO path.
+        self._use_tree = bool(cfg.get("tree_aggregation", True))
+        # Fuse K steps per dispatch (config: scan_steps): every sampled
+        # batch has IDENTICAL static shapes (the sampling-tree contract),
+        # so batches stack on a leading K axis with no bucketing and
+        # lax.scan slices per-step graphs — host sampling costs ~1 ms
+        # per batch while the per-step dispatch round-trip costs more
+        # than the device step, so fusion sets the throughput.
+        self._scan_k = max(1, int(self.config.get("scan_steps", 1)))
         self.state = None
         self._train_fn = None
+        self._train_scan_fn = None
         self._eval_fn = None
         self._np_rng = np.random.RandomState(int(self.config.get("seed", 0)))
 
@@ -77,21 +90,33 @@ class SampledGraphProcedure(BaseProcedure):
         arrays = {
             "nodes": batch.nodes.astype(np.int32),
             "labels": batch.labels,
-            "senders": batch.senders.astype(np.int32),
-            "receivers": batch.receivers.astype(np.int32),
             "relations": batch.relations.astype(np.int32),
             "weights": batch.weights,
-            "mask": batch.mask,
         }
+        if not self._use_tree:
+            arrays["senders"] = batch.senders.astype(np.int32)
+            arrays["receivers"] = batch.receivers.astype(np.int32)
+            arrays["mask"] = batch.mask
         placed = self.place_batch(
             arrays, pad_values={"labels": -100, "nodes": -1}
         )
         G, maxN = placed["labels"].shape
-        graph = batch_relational_coo(
-            placed["senders"], placed["receivers"], placed["relations"],
-            placed["weights"], placed["mask"],
-            nodes_per_sample=maxN, num_relations=self.data.num_relations,
-        )
+        if self._use_tree:
+            from grl_tpu.ops.tree import TreeGraph
+
+            graph = TreeGraph(
+                weights=placed["weights"],
+                relations=placed["relations"],
+                level_sizes=tuple(self.sampler.level_sizes),
+                fanouts=self.sampler.fanouts,
+                num_relations=self.data.num_relations,
+            )
+        else:
+            graph = batch_relational_coo(
+                placed["senders"], placed["receivers"], placed["relations"],
+                placed["weights"], placed["mask"],
+                nodes_per_sample=maxN, num_relations=self.data.num_relations,
+            )
         nodes_flat = placed["nodes"].reshape(G * maxN)
         return nodes_flat, graph, placed["labels"]
 
@@ -169,6 +194,62 @@ class SampledGraphProcedure(BaseProcedure):
             self._train_fn = train_step
             self._eval_fn = eval_step
 
+            if self._scan_k > 1:
+
+                @partial(jax.jit, donate_argnums=(0,))
+                def train_scan(state, features, nodes_s, graph_s,
+                               labels_s, rngs):
+                    def body(st, xs):
+                        nodes, graph, labels, rng = xs
+                        V = materialize(features, nodes)
+
+                        def loss_fn(params):
+                            variables = {"params": params}
+                            if st.constants is not None:
+                                variables["constants"] = st.constants
+                            logits = model.apply(
+                                variables, (V, graph), train=True,
+                                rngs={"dropout": rng},
+                            )
+                            logits = logits.reshape(*labels.shape, -1)
+                            return cross_entropy(logits, labels)
+
+                        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                        updates, new_opt = tx.update(
+                            grads, st.opt_state, st.params
+                        )
+                        return (
+                            st.replace(
+                                params=optax.apply_updates(st.params, updates),
+                                opt_state=new_opt,
+                                step=st.step + 1,
+                            ),
+                            loss,
+                        )
+
+                    state, losses = jax.lax.scan(
+                        body, state, (nodes_s, graph_s, labels_s, rngs)
+                    )
+                    return state, losses
+
+                self._train_scan_fn = train_scan
+
+    def _flush_scan(self, buffer, losses_out) -> None:
+        """Dispatch K buffered (nodes, graph, labels) batches as one
+        fused lax.scan step; graph leaves stack on the K axis while the
+        static metadata rides the treedef."""
+        nodes_s = jnp.stack([b[0] for b in buffer])
+        graph_s = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[b[1] for b in buffer]
+        )
+        labels_s = jnp.stack([b[2] for b in buffer])
+        rngs = jnp.stack([b[3] for b in buffer])
+        self.state, losses = self._train_scan_fn(
+            self.state, self._features_dev, nodes_s, graph_s, labels_s, rngs
+        )
+        losses_out.extend(float(x) for x in np.asarray(losses))
+        buffer.clear()
+
     # ------------------------------------------------------------------
     def _batches(self, mask):
         it = self.sampler.epoch_batches(self._np_rng, mask)
@@ -196,16 +277,29 @@ class SampledGraphProcedure(BaseProcedure):
         steps = 0
         for epoch in range(num_epochs):
             losses = []
+            buffer = []
             for batch in self._batches(self.data.train_mask):
                 self._ensure_initialized(batch)
                 nodes, graph, labels = self._place(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
+                steps += 1
+                if self._train_scan_fn is not None:
+                    buffer.append((nodes, graph, labels, step_rng))
+                    if len(buffer) == self._scan_k:
+                        self._flush_scan(buffer, losses)
+                    continue
                 self.state, loss = self._train_fn(
                     self.state, self._features_dev, nodes, graph, labels,
                     step_rng,
                 )
                 losses.append(float(loss))
-                steps += 1
+            # Remainder batches (< scan_k) drain through per-step dispatch.
+            for nodes, graph, labels, step_rng in buffer:
+                self.state, loss = self._train_fn(
+                    self.state, self._features_dev, nodes, graph, labels,
+                    step_rng,
+                )
+                losses.append(float(loss))
             acc = self._eval_accuracy()
             best_acc = max(best_acc, acc)
             self.tb_writer.add_scalar("val_accuracy", acc, epoch)

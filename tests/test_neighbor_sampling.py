@@ -176,3 +176,154 @@ class TestDeviceResidentFeatures:
         assert batch.features.shape[-1] == 0 and batch.nodes.shape[-1] > 0
         acc = proc()
         assert np.isfinite(acc) and acc > 0.2, acc
+
+    def test_scanned_matches_stepwise(self, sbm, tmp_path):
+        """scan_steps on the sampled procedure (identical static batch
+        shapes -> no bucketing): fused lax.scan dispatches reproduce the
+        per-step path's parameters exactly with the same seed."""
+        import jax
+
+        from grl_tpu.config import ConfigDict
+        from grl_tpu.models import GraphCNNDropEdge
+        from grl_tpu.trainer.procedures import SampledGraphProcedure
+
+        def run(name, scan_steps):
+            config = ConfigDict(
+                {
+                    "experiment_name": name,
+                    "seed": 0,
+                    "output_dir": str(tmp_path / name),
+                    "num_epochs": 2,
+                    "scan_steps": scan_steps,
+                    "sampler": {"fanouts": [4, 3], "batch_size": 64,
+                                "prefetch": 0},
+                    "optimizer": {
+                        "type": "BuiltinOptimizer",
+                        "args": {"type_optimizer": "Adam", "lr": 0.01},
+                    },
+                    "logging": {"use_tensorboard": False},
+                }
+            )
+            model = GraphCNNDropEdge(
+                input_dim=sbm.features.shape[1], output_dim=sbm.num_classes,
+                num_edges=sbm.num_relations, net_size=32, use_attention=False,
+            )
+            proc = SampledGraphProcedure(model, config, sbm)
+            proc()
+            return proc
+
+        stepwise = run("samp-scan-a", 1)
+        scanned = run("samp-scan-b", 3)
+        assert scanned._train_scan_fn is not None
+        assert int(scanned.state.step) == int(stepwise.state.step)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(stepwise.state.params),
+            jax.tree_util.tree_leaves_with_path(scanned.state.params),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5,
+                err_msg=f"param mismatch at {pa}",
+            )
+
+
+class TestTreeAggregation:
+    def test_matches_coo_aggregation(self, sbm):
+        """tree_neighbor_aggregate (reshape+einsum over the positional
+        tree) equals relational_neighbor_coo on the SAME sampled batch's
+        implied COO edges — identical output layout and values, with and
+        without a DropEdge keep vector."""
+        import jax.numpy as jnp
+
+        from grl_tpu.data.neighbor_sampler import NeighborSampler
+        from grl_tpu.ops.sparse import batch_relational_coo, relational_neighbor_coo
+        from grl_tpu.ops.tree import TreeGraph, tree_neighbor_aggregate
+
+        s = NeighborSampler(sbm, fanouts=(4, 3), batch_size=32, groups=2)
+        rng = np.random.RandomState(0)
+        targets = rng.randint(0, len(sbm.features), (2, 32))
+        targets[0, -3:] = -1  # padding targets -> masked edges
+        b = s.sample(rng, targets)
+        G, maxN = b.labels.shape
+        V = jnp.asarray(
+            rng.randn(G * maxN, 16).astype(np.float32)
+        )
+        coo = batch_relational_coo(
+            jnp.asarray(b.senders.astype(np.int32)),
+            jnp.asarray(b.receivers.astype(np.int32)),
+            jnp.asarray(b.relations.astype(np.int32)),
+            jnp.asarray(b.weights),
+            jnp.asarray(b.mask),
+            nodes_per_sample=maxN, num_relations=sbm.num_relations,
+        )
+        tree = TreeGraph(
+            weights=jnp.asarray(b.weights),
+            relations=jnp.asarray(b.relations.astype(np.int32)),
+            level_sizes=tuple(s.level_sizes),
+            fanouts=s.fanouts,
+            num_relations=sbm.num_relations,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tree_neighbor_aggregate(V, tree)),
+            np.asarray(relational_neighbor_coo(V, coo)),
+            rtol=1e-5, atol=1e-5,
+        )
+        keep = (rng.rand(G, s.num_edges) < 0.7).astype(np.float32) / 0.7
+        np.testing.assert_allclose(
+            np.asarray(tree_neighbor_aggregate(V, tree, jnp.asarray(keep))),
+            np.asarray(
+                relational_neighbor_coo(V, coo, jnp.asarray(keep.ravel()))
+            ),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_procedure_forward_parity_tree_vs_coo(self, sbm, tmp_path):
+        """The same trained variables produce identical eval logits
+        through the TreeGraph fast path and the COO fallback."""
+        import jax
+
+        from grl_tpu.config import ConfigDict
+        from grl_tpu.models import GraphCNNDropEdge
+        from grl_tpu.trainer.procedures import SampledGraphProcedure
+
+        def build(name, tree):
+            config = ConfigDict(
+                {
+                    "experiment_name": name,
+                    "seed": 0,
+                    "output_dir": str(tmp_path / name),
+                    "num_epochs": 1,
+                    "sampler": {
+                        "fanouts": [4, 3], "batch_size": 64, "prefetch": 0,
+                        "tree_aggregation": tree,
+                    },
+                    "optimizer": {
+                        "type": "BuiltinOptimizer",
+                        "args": {"type_optimizer": "Adam", "lr": 0.01},
+                    },
+                    "logging": {"use_tensorboard": False},
+                }
+            )
+            model = GraphCNNDropEdge(
+                input_dim=sbm.features.shape[1], output_dim=sbm.num_classes,
+                num_edges=sbm.num_relations, net_size=32, use_attention=False,
+            )
+            return SampledGraphProcedure(model, config, sbm)
+
+        tree_proc = build("tree", True)
+        coo_proc = build("coo", False)
+        rng = np.random.RandomState(3)
+        targets = rng.randint(0, len(sbm.features), (1, 64))
+        batch = tree_proc.sampler.sample(np.random.RandomState(5), targets)
+        tree_proc._ensure_initialized(batch)
+        variables = tree_proc.state.variables()
+
+        nodes_t, graph_t, _ = tree_proc._place(batch)
+        nodes_c, graph_c, _ = coo_proc._place(batch)
+        np.testing.assert_array_equal(np.asarray(nodes_t), np.asarray(nodes_c))
+        V = tree_proc._materialize(tree_proc._features_dev, nodes_t)
+        out_tree = tree_proc.model.apply(variables, (V, graph_t), train=False)
+        out_coo = coo_proc.model.apply(variables, (V, graph_c), train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_tree), np.asarray(out_coo), rtol=2e-5, atol=2e-5
+        )
