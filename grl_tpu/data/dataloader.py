@@ -101,29 +101,50 @@ def prefetch_iter(iterable, depth: int = 2):
     """Background-thread prefetch of ANY iterator: the producer (host
     sampling / collate / IO) runs ``depth`` items ahead of the consumer,
     overlapping with device compute. Worker exceptions re-raise in the
-    consumer."""
+    consumer.
+
+    Abandonment-safe: if the consumer drops the generator before
+    exhaustion (``next(iter(...))`` once, or an exception in the training
+    loop), GeneratorExit sets ``stop`` and the producer — which only ever
+    waits on ``q.put`` with a timeout — observes it and exits, so no
+    thread or buffered batches leak and a shared sampler RNG stops being
+    advanced for batches nobody will consume (ADVICE r4 #2)."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
+    stop = threading.Event()
     error_holder: List[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer() -> None:
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as err:  # surface worker errors to consumer
             error_holder.append(err)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error_holder:
-                raise error_holder[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_holder:
+                    raise error_holder[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class BaseDataLoader:

@@ -30,33 +30,42 @@ P = PartitionSpec
 
 
 def pad_node_arrays(
-    features: np.ndarray, labels: np.ndarray, num_nodes_padded: int,
-    label_pad: int = -100,
-) -> Tuple[np.ndarray, np.ndarray]:
+    features: Optional[np.ndarray], labels: np.ndarray,
+    num_nodes_padded: int, label_pad: int = -100,
+) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """Pad node-space arrays to the partitioned (device-divisible) count;
-    pad labels with the ignore value so the masked loss is unchanged."""
-    pad = num_nodes_padded - features.shape[0]
-    if pad <= 0:
-        return features, labels
-    features = np.concatenate(
-        [features, np.zeros((pad, features.shape[1]), features.dtype)]
-    )
-    labels = np.concatenate([labels, np.full(pad, label_pad, labels.dtype)])
+    pad labels with the ignore value so the masked loss is unchanged.
+    ``features=None`` pads labels only (callers placing several label
+    sets need the features copy once — ADVICE r4 #3)."""
+    labels = np.concatenate(
+        [labels, np.full(num_nodes_padded - len(labels), label_pad,
+                         labels.dtype)]
+    ) if num_nodes_padded > len(labels) else labels
+    if features is not None and num_nodes_padded > features.shape[0]:
+        pad = num_nodes_padded - features.shape[0]
+        features = np.concatenate(
+            [features, np.zeros((pad, features.shape[1]), features.dtype)]
+        )
     return features, labels
 
 
 def scatter_node_arrays(
-    node_perm: np.ndarray, features: np.ndarray, labels: np.ndarray,
-    num_nodes_padded: int, label_pad: int = -100,
-) -> Tuple[np.ndarray, np.ndarray]:
+    node_perm: np.ndarray, features: Optional[np.ndarray],
+    labels: np.ndarray, num_nodes_padded: int, label_pad: int = -100,
+) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """Place node arrays in partition order for a degree-BALANCED plan
     (``PartitionedGraph.node_perm``): row ``node_perm[i]`` holds original
     node ``i``; unassigned slots are zero features / ignored labels, so
-    the masked loss and accuracy are unchanged."""
-    out_f = np.zeros((num_nodes_padded, features.shape[1]), features.dtype)
+    the masked loss and accuracy are unchanged. ``features=None``
+    scatters labels only — avoids building and discarding a full
+    ``(num_nodes_padded, F)`` copy (~87 MB at arxiv scale) when a second
+    label set shares the same placement (ADVICE r4 #3)."""
     out_l = np.full(num_nodes_padded, label_pad, labels.dtype)
-    out_f[node_perm] = features
     out_l[node_perm] = labels
+    if features is None:
+        return None, out_l
+    out_f = np.zeros((num_nodes_padded, features.shape[1]), features.dtype)
+    out_f[node_perm] = features
     return out_f, out_l
 
 

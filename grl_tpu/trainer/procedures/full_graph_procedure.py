@@ -98,6 +98,9 @@ class FullGraphProcedure(BaseProcedure):
                     self.config.get_path("parallel.balance_partition", False)
                 ),
             )
+            # Features are placed once; the val labels share the same
+            # placement with features=None (no discarded (N, F) copy —
+            # ADVICE r4 #3).
             if self.part.node_perm is not None:
                 feats, self._train_np = scatter_node_arrays(
                     self.part.node_perm,
@@ -105,8 +108,7 @@ class FullGraphProcedure(BaseProcedure):
                     self.part.num_nodes,
                 )
                 _, self._val_np = scatter_node_arrays(
-                    self.part.node_perm,
-                    np.asarray(data.features, np.float32), val_labels,
+                    self.part.node_perm, None, val_labels,
                     self.part.num_nodes,
                 )
             else:
@@ -115,8 +117,7 @@ class FullGraphProcedure(BaseProcedure):
                     self.part.num_nodes,
                 )
                 _, self._val_np = pad_node_arrays(
-                    np.asarray(data.features, np.float32), val_labels,
-                    self.part.num_nodes,
+                    None, val_labels, self.part.num_nodes,
                 )
             self.graph = None
             self.features = jnp.asarray(feats)
