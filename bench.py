@@ -626,7 +626,7 @@ def measure_full_graph(data, dispatches: int = 3) -> float:
         state = proc.state
         rng, k = jax.random.split(rng)
         state, loss = proc._train_fn(
-            state, proc.features, proc.train_labels, k
+            state, proc.graph, proc.features, proc.train_labels, k
         )
         float(loss)  # warmup + hard sync
         best = float("inf")
@@ -635,7 +635,7 @@ def measure_full_graph(data, dispatches: int = 3) -> float:
             for _ in range(dispatches):
                 rng, k = jax.random.split(rng)
                 state, loss = proc._train_fn(
-                    state, proc.features, proc.train_labels, k
+                    state, proc.graph, proc.features, proc.train_labels, k
                 )
             float(loss)
             best = min(best, time.perf_counter() - start)

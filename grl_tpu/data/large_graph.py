@@ -37,22 +37,62 @@ def sbm_relational_graph(
     noise: float = 2.0,
     train_fraction: float = 0.6,
     seed: int = 0,
+    communities: int | None = None,
+    degree_zipf: float = 0.0,
 ) -> LargeGraphData:
     """Directed SBM: edges prefer same-community endpoints; features are a
-    noisy community one-hot embedding."""
+    noisy community one-hot embedding.
+
+    ``communities`` decouples the edge-community structure from the label
+    count: with e.g. 512 communities and 40 classes, each community maps
+    to class ``community % num_classes`` — the fine topical clustering
+    real citation graphs have (ogbn-arxiv's 40 *labels* are unions of
+    thousands of topic clusters), which coarse equal-block SBMs lack.
+    ``degree_zipf > 0`` draws per-node Zipf(exponent) propensities and
+    samples both endpoints proportionally (a degree-corrected SBM): the
+    hub-heavy tail real graphs show. Defaults reproduce the original
+    generator bit-for-bit (same RNG stream), keeping cross-round bench
+    continuity.
+    """
     rng = np.random.RandomState(seed)
-    labels = rng.randint(0, num_classes, num_nodes).astype(np.int32)
+    if communities is None:
+        labels = rng.randint(0, num_classes, num_nodes).astype(np.int32)
+        com, n_com = labels, num_classes
+    else:
+        com = rng.randint(0, communities, num_nodes).astype(np.int32)
+        labels = (com % num_classes).astype(np.int32)
+        n_com = communities
     E = int(num_nodes * avg_degree)
-    senders = rng.randint(0, num_nodes, 2 * E).astype(np.int32)
+    if degree_zipf > 0.0:
+        # Degree-corrected endpoints: propensity ~ rank^-zipf within the
+        # node order, shuffled so hub ids are scattered (the reorderer
+        # must find them).
+        prop = (1.0 + np.arange(num_nodes)) ** (-degree_zipf)
+        rng.shuffle(prop)
+        p_node = prop / prop.sum()
+        senders = rng.choice(num_nodes, 2 * E, p=p_node).astype(np.int32)
+    else:
+        senders = rng.randint(0, num_nodes, 2 * E).astype(np.int32)
     receivers = np.empty_like(senders)
     same = rng.rand(2 * E) < homophily
     # same-community edges: pick receiver from the sender's community.
-    order = np.argsort(labels, kind="stable")
-    class_starts = np.searchsorted(labels[order], np.arange(num_classes))
-    class_counts = np.bincount(labels, minlength=num_classes)
-    pick = rng.randint(0, np.maximum(class_counts[labels[senders]], 1))
-    receivers[same] = order[class_starts[labels[senders[same]]] + pick[same]]
-    receivers[~same] = rng.randint(0, num_nodes, (~same).sum())
+    order = np.argsort(com, kind="stable")
+    class_starts = np.searchsorted(com[order], np.arange(n_com))
+    class_counts = np.bincount(com, minlength=n_com)
+    if degree_zipf > 0.0:
+        # Within-community degree-corrected pick: rank nodes inside each
+        # community by a second propensity draw and bias the choice.
+        u = rng.rand(2 * E) ** (1.0 / (1.0 + degree_zipf))
+        pick = (u * np.maximum(class_counts[com[senders]], 1)).astype(np.int64)
+    else:
+        pick = rng.randint(0, np.maximum(class_counts[com[senders]], 1))
+    receivers[same] = order[class_starts[com[senders[same]]] + pick[same]]
+    if degree_zipf > 0.0:
+        receivers[~same] = rng.choice(
+            num_nodes, int((~same).sum()), p=p_node
+        ).astype(np.int32)
+    else:
+        receivers[~same] = rng.randint(0, num_nodes, (~same).sum())
     keep = senders != receivers
     senders, receivers = senders[keep][:E], receivers[keep][:E]
     relations = rng.randint(0, num_relations, len(senders)).astype(np.int32)

@@ -118,7 +118,17 @@ class GraphConv(nn.Module):
                 seed, rate = jnp.zeros((), jnp.int32), 0.0
             else:
                 seed, rate = edge_keep
-            neigh = A.kernel.neighbor_aggregate(V, seed, rate)
+            tables = getattr(A, "kernel_tables", None)
+            if tables is not None:
+                # Threaded table pytree (the adjacency came through a
+                # jit boundary as an argument): the tables are XLA
+                # parameters, not program constants — essential for the
+                # table-heavy tile kernel (csr_spmm.CSRAdjacency notes).
+                neigh = A.kernel.neighbor_aggregate(
+                    V, seed, rate, tables=tables
+                )
+            else:
+                neigh = A.kernel.neighbor_aggregate(V, seed, rate)
             self_term = V if self_scale is None else V * self_scale[..., None]
         elif isinstance(A, TreeGraph):
             # Sampled-minibatch fast path: the tree's edge endpoints are

@@ -173,6 +173,71 @@ def _gather_reduce(Vp, bucket: _Bucket, seed, rate: float) -> jnp.ndarray:
     return out
 
 
+class ELLTables(NamedTuple):
+    """The kernel's device-array tables as ONE pytree.
+
+    Passed through jit boundaries as an ARGUMENT (see
+    ``KernelAdjacency.kernel_tables``): a closure-captured device array
+    is embedded in the lowered program as a constant, which through the
+    TPU tunnel is (a) re-uploaded with every compile (~10 s per 100 MB)
+    and (b) hard-capped by the compile service's HTTP request limit —
+    table-heavy kernels (tile hybrid: 100s of MB) exceed it outright.
+    As parameters they cost nothing at compile time.
+    """
+
+    fwd: tuple  # Tuple[_Bucket, ...]
+    fwd_inv: jnp.ndarray
+    bwd: tuple  # Tuple[_Bucket, ...]
+    bwd_inv: jnp.ndarray
+
+
+def zero_cotangent(tree):
+    """Cotangents for a non-differentiable table pytree: float0 for
+    integer/bool leaves (no storage), zeros for float leaves (DCE'd —
+    nothing consumes them)."""
+    def zero(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(np.shape(x), jax.dtypes.float0)
+
+    return jax.tree.map(zero, tree)
+
+
+def _ell_fwd_only(tables, V, seed, num_nodes, L, rate):
+    parts = [_gather_reduce(V, b, seed, rate) for b in tables.fwd]
+    out = jnp.take(jnp.concatenate(parts, axis=0), tables.fwd_inv, axis=0)
+    return out.reshape(num_nodes, L * V.shape[-1]).astype(V.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ell_aggregate(tables, V, seed, num_nodes, L, rate):
+    """Dual-ELL neighbor aggregation as a pure function of the table
+    pytree (differentiable w.r.t. ``V`` only)."""
+    return _ell_fwd_only(tables, V, seed, num_nodes, L, rate)
+
+
+def _ell_fwd(tables, V, seed, num_nodes, L, rate):
+    return _ell_fwd_only(tables, V, seed, num_nodes, L, rate), (
+        tables, V, seed,
+    )
+
+
+def _ell_bwd(num_nodes, L, rate, residuals, g):
+    tables, V, seed = residuals
+    F = V.shape[-1]
+    g2 = g.reshape(num_nodes * L, F)
+    parts = [_gather_reduce(g2, b, seed, rate) for b in tables.bwd]
+    dV = jnp.take(jnp.concatenate(parts, axis=0), tables.bwd_inv, axis=0)
+    dV = dV.astype(V.dtype)
+    if V.shape[0] > num_nodes:
+        dV = jnp.pad(dV, ((0, V.shape[0] - num_nodes), (0, 0)))
+    d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return zero_cotangent(tables), dV, d_seed
+
+
+ell_aggregate.defvjp(_ell_fwd, _ell_bwd)
+
+
 class ELLGraphKernel:
     """A static graph planned as dual degree-bucketed ELL gather tables.
 
@@ -223,42 +288,28 @@ class ELLGraphKernel:
             bucket_growth=bucket_growth,
         )
         self._bwd, self._bwd_inv = bwd_plan.buckets, bwd_plan.inv_perm
-
-        L, num_nodes_ = self.L, self.num_nodes
-        fwd, fwd_inv = self._fwd, self._fwd_inv
-        bwd, bwd_inv = self._bwd, self._bwd_inv
-
-        @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-        def aggregate(V, seed, rate):
-            parts = [_gather_reduce(V, b, seed, rate) for b in fwd]
-            out = jnp.take(jnp.concatenate(parts, axis=0), fwd_inv, axis=0)
-            return out.reshape(num_nodes_, L * V.shape[-1]).astype(V.dtype)
-
-        def fwd_fn(V, seed, rate):
-            return aggregate(V, seed, rate), (V, seed)
-
-        def bwd_fn(rate, residuals, g):
-            V, seed = residuals
-            F = V.shape[-1]
-            g2 = g.reshape(num_nodes_ * L, F)
-            parts = [_gather_reduce(g2, b, seed, rate) for b in bwd]
-            dV = jnp.take(jnp.concatenate(parts, axis=0), bwd_inv, axis=0)
-            dV = dV.astype(V.dtype)
-            if V.shape[0] > num_nodes_:
-                dV = jnp.pad(dV, ((0, V.shape[0] - num_nodes_), (0, 0)))
-            d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
-            return dV, d_seed
-
-        aggregate.defvjp(fwd_fn, bwd_fn)
-        self._aggregate = aggregate
+        self.tables = ELLTables(
+            fwd=tuple(self._fwd), fwd_inv=self._fwd_inv,
+            bwd=tuple(self._bwd), bwd_inv=self._bwd_inv,
+        )
 
     def pad_features(self, V: jnp.ndarray) -> jnp.ndarray:
         return V  # padding entries gather row 0 with weight 0 — inert
 
     def neighbor_aggregate(
-        self, V: jnp.ndarray, seed=0, rate: float = 0.0
+        self, V: jnp.ndarray, seed=0, rate: float = 0.0, tables=None
     ) -> jnp.ndarray:
         """``(num_nodes, L*F)`` neighbor aggregation, optionally DropEdge'd
         with the fused per-edge hash mask. Differentiable w.r.t. ``V``;
-        ``seed`` may be traced, ``rate`` must be static."""
-        return self._aggregate(V, jnp.asarray(seed), float(rate))
+        ``seed`` may be traced, ``rate`` must be static.
+
+        ``tables``: the :class:`ELLTables` pytree, passed explicitly when
+        the caller threads it through a jit boundary as an argument
+        (GraphConv does, via ``KernelAdjacency.kernel_tables``); defaults
+        to the kernel's own — which inside a jit becomes an embedded
+        program constant, fine on CPU tests, slow through the tunnel.
+        """
+        return ell_aggregate(
+            tables if tables is not None else self.tables,
+            V, jnp.asarray(seed), self.num_nodes, self.L, float(rate),
+        )

@@ -30,6 +30,7 @@ import numpy as np
 from grl_tpu.ops.ell import ELLGraphKernel
 from grl_tpu.ops.pallas.csr_spmm import CSRAdjacency, CSRGraphKernel
 from grl_tpu.ops.sparse import RelationalGraph
+from grl_tpu.ops.tile import TileGraphKernel
 
 # kernel_impl values accepted on the sparse path. "pallas" is the generic
 # config value ("use the TPU kernels"); on sparse graphs it resolves to
@@ -38,6 +39,9 @@ SPARSE_KERNELS = {
     "ell": ELLGraphKernel,
     "pallas": ELLGraphKernel,
     "pallas_csr": CSRGraphKernel,
+    # Tile-dense hybrid: MXU tiles over locally dense blocks (after LPA
+    # community reordering), ELL residual elsewhere (grl_tpu/ops/tile.py).
+    "tile": TileGraphKernel,
 }
 
 KernelAdjacency = CSRAdjacency  # generic alias: carries ANY planned kernel
@@ -61,17 +65,7 @@ def attach_kernel(
     kernel (SDDMM+softmax+SpMM) over the same edge set, which
     SparseNodeSelfAtten then routes through.
     """
-    atten_kernel = None
-    if attention:
-        from grl_tpu.ops.pallas.sparse_attention import SparseAttentionKernel
-
-        mask = np.asarray(graph.mask)
-        atten_kernel = SparseAttentionKernel(
-            np.asarray(graph.senders)[mask],
-            np.asarray(graph.receivers)[mask],
-            num_nodes=graph.num_nodes,
-        )
-    if impl == "xla" and atten_kernel is None:
+    if impl == "xla" and not attention:
         return graph
     if impl == "xla":
         kernel = None
@@ -92,9 +86,34 @@ def attach_kernel(
             feature_dim=feature_dim,
             **plan_kwargs,
         )
+    senders, receivers = graph.senders, graph.receivers
+    node_perm = getattr(kernel, "node_perm", None)
+    if node_perm is not None:
+        # The kernel reordered the node space at plan time (TileGraph
+        # community packing): relabel the carried edge arrays so every
+        # consumer of the adjacency (sparse attention, the XLA fallback)
+        # lives in the SAME permuted space the caller must place
+        # features/labels into (see FullGraphProcedure).
+        import jax.numpy as jnp
+
+        perm_j = jnp.asarray(node_perm.astype(np.int32))
+        senders = perm_j[graph.senders]
+        receivers = perm_j[graph.receivers]
+    atten_kernel = None
+    if attention:
+        # Planned AFTER the aggregation kernel so the attention tables
+        # live in the (possibly reordered) node space too.
+        from grl_tpu.ops.pallas.sparse_attention import SparseAttentionKernel
+
+        mask = np.asarray(graph.mask)
+        atten_kernel = SparseAttentionKernel(
+            np.asarray(senders)[mask],
+            np.asarray(receivers)[mask],
+            num_nodes=graph.num_nodes,
+        )
     return KernelAdjacency(
-        senders=graph.senders,
-        receivers=graph.receivers,
+        senders=senders,
+        receivers=receivers,
         relations=graph.relations,
         weights=graph.weights,
         mask=graph.mask,
@@ -103,4 +122,8 @@ def attach_kernel(
         batch_shape=graph.batch_shape,
         kernel=kernel,
         atten_kernel=atten_kernel,
+        # Table pytree rides the adjacency through jit boundaries as an
+        # argument (ELL/tile kernels expose .tables; CSR keeps closure
+        # capture) — see CSRAdjacency.kernel_tables for why.
+        kernel_tables=getattr(kernel, "tables", None),
     )

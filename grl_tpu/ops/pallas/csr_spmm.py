@@ -487,6 +487,16 @@ if _RelationalGraph is not None:
         atten_kernel: object = flax.struct.field(
             pytree_node=False, default=None
         )
+        # The kernel's table pytree as a TREE NODE: when the adjacency
+        # crosses a jit boundary as an argument, the tables become XLA
+        # parameters instead of embedded program constants — the tunnel's
+        # compile service re-uploads constants on every compile and caps
+        # request size (HTTP 413 at a few hundred MB), which the tile
+        # kernel's inline tiles exceed. GraphConv passes this to
+        # kernel.neighbor_aggregate(..., tables=...).
+        kernel_tables: object = flax.struct.field(
+            pytree_node=True, default=None
+        )
 
     def attach_csr_kernel(
         graph: "_RelationalGraph", feature_dim: int = 256, **plan_kwargs

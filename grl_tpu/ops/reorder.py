@@ -11,10 +11,12 @@ nearby HBM rows.
 Reverse Cuthill–McKee on the symmetrized adjacency is the classic
 bandwidth-reducing order; on community-structured graphs (the SBM
 benchmarks, citation networks) its BFS growth keeps whole communities
-contiguous. The permutation is applied ONCE at procedure setup (features
-and labels are scattered through it, the edge list is relabeled), so the
-training loop pays zero per-step cost; outputs stay in the reordered
-space, consistent with the permuted labels.
+contiguous. Product wiring: ``kernel_impl: tile`` plans the LPA order
+inside :class:`grl_tpu.ops.tile.TileGraphKernel` (edges relabeled at
+plan time, ``node_perm`` exposed) and FullGraphProcedure scatters
+features/labels through ``node_perm`` ONCE at setup — the training loop
+pays zero per-step cost; outputs stay in the reordered space, consistent
+with the permuted labels.
 
 The reference has no analog (its graphs are per-page dense paddings);
 anchor for the op this accelerates: gnn/models/networks/robust_gcn.py:45-47.

@@ -142,13 +142,39 @@ class FullGraphProcedure(BaseProcedure):
                 # kernel for the static graph here (host-side, once) —
                 # SURVEY §2.7 row 1. "pallas"/"ell" select the scatter-free
                 # ELL dual-gather tables (the fast path); "pallas_csr" the
-                # blocked-CSR Pallas kernel.
+                # blocked-CSR Pallas kernel; "tile" the tile-dense hybrid
+                # (MXU tiles over the LPA community reordering + ELL
+                # residual — grl_tpu/ops/tile.py).
                 from grl_tpu.ops.kernels import attach_kernel
 
+                plan_kwargs = dict(
+                    self.config.get_path("kernel_plan", {}) or {}
+                )
                 self.graph = attach_kernel(
                     self.graph, impl=impl,
                     feature_dim=2 * int(getattr(model, "net_size", 256)),
                     attention=plan_atten,
+                    **plan_kwargs,
+                )
+            node_perm = getattr(
+                getattr(self.graph, "kernel", None), "node_perm", None
+            )
+            if node_perm is not None:
+                # The kernel reordered the node space at plan time (tile
+                # community packing): place features/labels in the
+                # permuted order ONCE here — the step then pays zero
+                # permutation cost, and val metrics are permutation-
+                # invariant (masked mean over the same label multiset).
+                from grl_tpu.parallel.sharded_flagship import (
+                    scatter_node_arrays,
+                )
+
+                features, train_labels = scatter_node_arrays(
+                    node_perm, np.asarray(features, np.float32),
+                    train_labels, len(features),
+                )
+                _, val_labels = scatter_node_arrays(
+                    node_perm, None, val_labels, len(features),
                 )
             self.features = jnp.asarray(features)
             self.train_labels = jnp.asarray(train_labels)
@@ -180,9 +206,9 @@ class FullGraphProcedure(BaseProcedure):
             else:
 
                 @partial(jax.jit, donate_argnums=(0,))
-                def scanned(state, V, labels, rng):
+                def scanned(state, graph, V, labels, rng):
                     def body(st, r):
-                        return step_body(st, V, labels, r)
+                        return step_body(st, graph, V, labels, r)
 
                     state, losses = jax.lax.scan(
                         body, state, jax.random.split(rng, K)
@@ -214,9 +240,15 @@ class FullGraphProcedure(BaseProcedure):
             )
             self.state = self._load_prev_checkpoint(self.state)
         if self._train_fn is None:
-            model, tx, graph = self.model, self.tx, self.graph
+            model, tx = self.model, self.tx
 
-            def step_body(state: TrainState, V, labels, rng):
+            # The graph rides through the jit boundary as an ARGUMENT
+            # (flax.struct pytree): its edge arrays — and, decisively,
+            # the attached kernel's table pytree (kernel_tables) — lower
+            # to XLA parameters instead of embedded constants, which the
+            # TPU tunnel's compile service re-uploads per compile and
+            # size-caps (grl_tpu/ops/pallas/csr_spmm.py CSRAdjacency).
+            def step_body(state: TrainState, graph, V, labels, rng):
                 def loss_fn(params):
                     variables = {"params": params}
                     if state.constants is not None:
@@ -241,7 +273,7 @@ class FullGraphProcedure(BaseProcedure):
             train_step = self._scan_fn(self._scan_k)
 
             @jax.jit
-            def eval_step(state: TrainState, V, labels):
+            def eval_step(state: TrainState, graph, V, labels):
                 logits = self.model.apply(state.variables(), (V, graph), train=False)
                 preds = jnp.argmax(logits, axis=-1)
                 mask = labels != -100
@@ -295,7 +327,10 @@ class FullGraphProcedure(BaseProcedure):
                 self.model, self.mesh, self.part, self.tx
             )
 
-            def step_body(state: TrainState, V, labels, rng):
+            # `graph` arg unused here (the partition plan lives in the
+            # shard_map closures) — kept for the uniform train-fn
+            # signature shared with the single-device branch.
+            def step_body(state: TrainState, graph, V, labels, rng):
                 params, opt_state, loss = step(
                     state.params, state.constants, state.opt_state,
                     V, labels, rng,
@@ -310,7 +345,7 @@ class FullGraphProcedure(BaseProcedure):
             self._step_body = step_body
             train_fn = self._scan_fn(self._scan_k)
 
-            def eval_fn(state: TrainState, V, labels):
+            def eval_fn(state: TrainState, graph, V, labels):
                 logits = fwd(state.params, state.constants, V)
                 preds = jnp.argmax(logits, axis=-1)
                 mask = labels != -100
@@ -337,7 +372,8 @@ class FullGraphProcedure(BaseProcedure):
             self.rng, step_rng = jax.random.split(self.rng)
             fn = self._train_fn if k_eff == K else self._scan_fn(k_eff)
             self.state, loss = fn(
-                self.state, self.features, self.train_labels, step_rng
+                self.state, self.graph, self.features, self.train_labels,
+                step_rng,
             )
             epoch = first + k_eff - 1
             total = epoch + 1
@@ -348,7 +384,11 @@ class FullGraphProcedure(BaseProcedure):
                 or first // 10 != (first + k_eff) // 10
                 or first + k_eff >= num_epochs
             ):
-                acc = float(self._eval_fn(self.state, self.features, self.val_labels))
+                acc = float(
+                    self._eval_fn(
+                        self.state, self.graph, self.features, self.val_labels
+                    )
+                )
                 best_acc = max(best_acc, acc)
                 self.tb_writer.add_scalar("val_accuracy", acc, epoch)
                 self.logger.info(

@@ -82,14 +82,14 @@ def main() -> int:
     rng = jax.random.PRNGKey(0)
     state = proc.state
     rng, k = jax.random.split(rng)
-    state, loss = proc._train_fn(state, proc.features, proc.train_labels, k)
+    state, loss = proc._train_fn(state, proc.graph, proc.features, proc.train_labels, k)
     float(loss)  # compile + sync
 
     trace_dir = tempfile.mkdtemp(prefix="grl_trace_")
     jax.profiler.start_trace(trace_dir)
     for _ in range(args.dispatches):
         rng, k = jax.random.split(rng)
-        state, loss = proc._train_fn(state, proc.features, proc.train_labels, k)
+        state, loss = proc._train_fn(state, proc.graph, proc.features, proc.train_labels, k)
     float(loss)
     jax.profiler.stop_trace()
 
