@@ -566,6 +566,130 @@ def measure_sparse(
     return E / best, frac, best_name, E / best / sol
 
 
+def measure_sparse_structures() -> dict | None:
+    """Tile-dense hybrid vs ELL across graph STRUCTURES at arxiv node
+    count (169,343), fwd+bwd, single chip.
+
+    Protocol: K=20 chained iterations fused in ONE ``lax.scan`` dispatch
+    (each iteration's input depends on the previous output), minus the
+    measured null-dispatch sync — the per-dispatch tunnel overhead
+    (~2.4 ms pipelined, ~24 ms synced under backlog) otherwise floors
+    any sub-10 ms kernel (round-5 finding; the per-dispatch
+    ``chained_time`` numbers are max(device, overhead)).
+
+    Structures:
+      * clustered  — arxiv-like: avg degree 7, 661 communities (~256
+        nodes each, the real citation-topic granularity; the bench's
+        historical 40-block SBM has no tile-scale structure at all)
+      * products_like — avg degree 16, 1324 communities, homophily
+        0.85 (ogbn-products-style density/clustering)
+
+    Physics note for honesty: at homophily 0.8, ~20% of edges are
+    cross-community and can never tile; their gather floor (2 x 3.2 ns)
+    plus the tile part caps the clustered graph near ~0.29 B edges/s —
+    the hybrid's win concentrates on denser graphs where the tile path
+    (cost per adjacency AREA, not per edge) amortizes.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from grl_tpu.data.large_graph import sbm_relational_graph
+    from grl_tpu.ops.ell import ELLGraphKernel
+    from grl_tpu.ops.tile import TileGraphKernel
+
+    K = 20
+    null = jax.jit(lambda s: jnp.mod(s * 1.000001, 1.0) + 0.5)
+
+    def null_sync():
+        s = jnp.float32(1.0)
+        for _ in range(2):
+            s = null(s)
+        float(s)
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            s = null(s)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def scanned_rate(kern, Vin, E):
+        @jax.jit
+        def fb(tables, v, s0):
+            def body(s, _):
+                g = jax.grad(
+                    lambda x: (
+                        kern.neighbor_aggregate(x, 0, 0.0, tables=tables)
+                        ** 2
+                    ).sum()
+                )(v * s)
+                return chain_scalar(g), None
+
+            return lax.scan(body, s0, None, length=K)[0]
+
+        s = jnp.float32(1.0)
+        s = fb(kern.tables, Vin, s)
+        float(s)
+        t0n = null_sync()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = fb(kern.tables, Vin, s)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+        return E / (max(best - t0n, 1e-9) / K)
+
+    structures = {
+        "clustered": dict(avg_degree=7, communities=661, homophily=0.8),
+        "products_like": dict(
+            avg_degree=16, communities=1324, homophily=0.85
+        ),
+    }
+    out: dict = {}
+    for name, kw in structures.items():
+        sbm = sbm_relational_graph(
+            num_nodes=169_343, num_classes=40, num_relations=1,
+            feature_dim=128, seed=0, **kw,
+        )
+        E = len(sbm.senders)
+        ell = ELLGraphKernel(
+            sbm.senders, sbm.receivers, sbm.relations, sbm.weights,
+            num_nodes=169_343, num_relations=1,
+        )
+        r_ell = retry(
+            lambda: scanned_rate(ell, jnp.asarray(sbm.features), E),
+            label=f"structure {name} ell",
+        )
+        kern = TileGraphKernel(
+            sbm.senders, sbm.receivers, sbm.relations, sbm.weights,
+            num_nodes=169_343, num_relations=1, feature_dim=128,
+            tile_size=128, tile_dtype="bfloat16",
+        )
+        Vp = np.zeros_like(sbm.features)
+        Vp[kern.node_perm] = sbm.features
+        r_tile = retry(
+            lambda: scanned_rate(kern, jnp.asarray(Vp), E),
+            label=f"structure {name} tile",
+        )
+        out[name] = {
+            "edges": E,
+            "ell_edges_per_s": round(r_ell, 1),
+            "tile_edges_per_s": round(r_tile, 1),
+            "tile_coverage": round(kern.covered_edges / E, 3),
+            "tiles": kern.tiles_total,
+        }
+        print(
+            f"[bench] sparse structure {name}: E={E:,} "
+            f"ell {r_ell / 1e9:.3f} B edges/s, tile {r_tile / 1e9:.3f} "
+            f"B edges/s ({r_tile / r_ell:.2f}x, coverage "
+            f"{100 * kern.covered_edges / E:.0f}%)",
+            file=sys.stderr,
+        )
+    return out
+
+
 def arxiv_scale_data():
     """Shared arxiv-scale SBM for the sparse/product measurements."""
     from grl_tpu.data.large_graph import sbm_relational_graph
@@ -874,6 +998,17 @@ def main() -> None:
         print(f"[bench] sparse side-metric failed: {err}", file=sys.stderr)
         failed.append("sparse")
 
+    sparse_structures = None
+    if not quick:
+        try:
+            sparse_structures = measure_sparse_structures()
+        except Exception as err:
+            print(
+                f"[bench] sparse structure sweep failed: {err}",
+                file=sys.stderr,
+            )
+            failed.append("sparse_structures")
+
     # Product-procedure measurements (BASELINE configs 3-4 as the product
     # runs them — VERDICT r3 missing #3).
     full_graph_eps = sampled_nps = None
@@ -941,6 +1076,7 @@ def main() -> None:
                 if sparse_gather_frac
                 else None,
                 "sparse_impl": sparse_impl,
+                "sparse_structures": sparse_structures,
                 "full_graph_edges_per_s": round(full_graph_eps, 1)
                 if full_graph_eps
                 else None,
