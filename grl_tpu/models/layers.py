@@ -119,6 +119,43 @@ class GraphConv(nn.Module):
             else:
                 seed, rate = edge_keep
             tables = getattr(A, "kernel_tables", None)
+            kernel_tbl = tables if tables is not None else getattr(
+                A.kernel, "tables", None
+            )
+            self_term = V if self_scale is None else V * self_scale[..., None]
+            if (
+                getattr(kernel_tbl, "proj", None) is not None
+                and F > self.features
+            ):
+                # PROJECT-FIRST (plan_projected kernels, width-reducing
+                # convs): sum_r A_r @ (V W_r) == (sum_r A_r V) W_r by
+                # associativity, but gathers run at the OUTPUT width C
+                # instead of the input width F — gather transactions are
+                # the op's binding resource, so when F > C (the
+                # flagship's 512-wide concat conv) this halves them.
+                L = self.num_relations
+                Wr = w_neigh.reshape(L, F, self.features)
+                Vr = jnp.einsum(
+                    "nf,lfc->nlc", maybe_cast(V, self.dtype), Wr,
+                    precision=self.precision,
+                ).reshape(L * V.shape[0], self.features)
+                neigh_term = A.kernel.neighbor_aggregate_projected(
+                    Vr, seed, rate, tables=kernel_tbl
+                )
+                self_term = maybe_cast(self_term, self.dtype)
+                out = (
+                    jnp.matmul(self_term, w_self, precision=self.precision)
+                    + maybe_cast(neigh_term, self.dtype)
+                )
+                if self.use_bias:
+                    bias = self.param(
+                        "bias",
+                        lambda key, shape: 1e-4
+                        + 5e-5 * jax.random.normal(key, shape),
+                        (self.features,),
+                    )
+                    out = out + maybe_cast(bias, self.dtype)
+                return out
             if tables is not None:
                 # Threaded table pytree (the adjacency came through a
                 # jit boundary as an argument): the tables are XLA
@@ -129,7 +166,6 @@ class GraphConv(nn.Module):
                 )
             else:
                 neigh = A.kernel.neighbor_aggregate(V, seed, rate)
-            self_term = V if self_scale is None else V * self_scale[..., None]
         elif isinstance(A, TreeGraph):
             # Sampled-minibatch fast path: the tree's edge endpoints are
             # positional constants, so aggregation is reshape+einsum —

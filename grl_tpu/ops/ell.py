@@ -88,7 +88,15 @@ def _build_tables(
     max_deg = int(counts.max()) if len(counts) else 0
     widths = [width_quantum]
     while widths[-1] < max(max_deg, 1):
-        widths.append(widths[-1] * bucket_growth)
+        # bucket_growth=1 selects ARITHMETIC widths (q, 2q, 3q, ...):
+        # ~2x less slot padding than geometric on Poisson-degree graphs
+        # (measured ~36% -> ~8% at avg degree 7) at the cost of more,
+        # smaller bucket programs.
+        widths.append(
+            widths[-1] * bucket_growth
+            if bucket_growth > 1
+            else widths[-1] + width_quantum
+        )
     bucket_of = np.searchsorted(np.asarray(widths), counts)
 
     # Fully vectorized table fill (a per-row Python loop here cost ~200s
@@ -173,6 +181,19 @@ def _gather_reduce(Vp, bucket: _Bucket, seed, rate: float) -> jnp.ndarray:
     return out
 
 
+class ELLProjTables(NamedTuple):
+    """Projected-aggregation tables (see ``plan_projected``): forward
+    gathers RELATION-CHANNELED rows ``sender·L + rel`` of a pre-projected
+    ``(N·L, C)`` feature array into N receiver rows (relations SUM, so
+    the out-row space is N, not N·L); backward gathers the ``(N, C)``
+    cotangent into N·L projected-input rows."""
+
+    fwd: tuple
+    fwd_inv: jnp.ndarray
+    bwd: tuple
+    bwd_inv: jnp.ndarray
+
+
 class ELLTables(NamedTuple):
     """The kernel's device-array tables as ONE pytree.
 
@@ -189,6 +210,7 @@ class ELLTables(NamedTuple):
     fwd_inv: jnp.ndarray
     bwd: tuple  # Tuple[_Bucket, ...]
     bwd_inv: jnp.ndarray
+    proj: object = None  # Optional[ELLProjTables]
 
 
 def zero_cotangent(tree):
@@ -238,6 +260,50 @@ def _ell_bwd(num_nodes, L, rate, residuals, g):
 ell_aggregate.defvjp(_ell_fwd, _ell_bwd)
 
 
+def _ell_proj_fwd_only(proj, Vr, seed, num_nodes, rate):
+    parts = [_gather_reduce(Vr, b, seed, rate) for b in proj.fwd]
+    out = jnp.take(jnp.concatenate(parts, axis=0), proj.fwd_inv, axis=0)
+    return out.astype(Vr.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ell_aggregate_projected(tables, Vr, seed, num_nodes, L, rate):
+    """PROJECT-FIRST neighbor aggregation: ``Vr (N·L, C)`` holds the
+    per-relation projected features ``V @ W_r`` stacked relation-minor
+    (row ``n·L + r``); returns the relation-SUMMED ``(N, C)``
+    aggregation ``sum_r A_r @ (V W_r)`` — by matmul associativity the
+    exact math of ``aggregate-then-project`` but gathered at the OUTPUT
+    width.  When C < L·F_in (e.g. the flagship's 512-wide third conv
+    projecting to 256) this halves the gather transactions, the op's
+    binding resource (docs/model-performance.md roofline).  DropEdge
+    hashes the same per-edge gids, so masks match the standard path
+    exactly for a given seed.  Differentiable w.r.t. ``Vr``.
+    """
+    return _ell_proj_fwd_only(tables.proj, Vr, seed, num_nodes, rate)
+
+
+def _ell_proj_vjp_fwd(tables, Vr, seed, num_nodes, L, rate):
+    return (
+        _ell_proj_fwd_only(tables.proj, Vr, seed, num_nodes, rate),
+        (tables, Vr, seed),
+    )
+
+
+def _ell_proj_vjp_bwd(num_nodes, L, rate, residuals, g):
+    tables, Vr, seed = residuals
+    proj = tables.proj
+    parts = [_gather_reduce(g, b, seed, rate) for b in proj.bwd]
+    dVr = jnp.take(jnp.concatenate(parts, axis=0), proj.bwd_inv, axis=0)
+    dVr = dVr.astype(Vr.dtype)
+    if Vr.shape[0] > num_nodes * L:
+        dVr = jnp.pad(dVr, ((0, Vr.shape[0] - num_nodes * L), (0, 0)))
+    d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return zero_cotangent(tables), dVr, d_seed
+
+
+ell_aggregate_projected.defvjp(_ell_proj_vjp_fwd, _ell_proj_vjp_bwd)
+
+
 class ELLGraphKernel:
     """A static graph planned as dual degree-bucketed ELL gather tables.
 
@@ -256,6 +322,7 @@ class ELLGraphKernel:
         num_relations: int,
         width_quantum: int = 4,
         bucket_growth: int = 2,
+        plan_projected: bool = False,
         **_ignored,  # planner kwargs shared with CSRGraphKernel
     ):
         senders = np.asarray(senders, np.int64)
@@ -288,9 +355,30 @@ class ELLGraphKernel:
             bucket_growth=bucket_growth,
         )
         self._bwd, self._bwd_inv = bwd_plan.buckets, bwd_plan.inv_perm
+        proj = None
+        if plan_projected:
+            # Project-first tables (ell_aggregate_projected): forward
+            # gathers relation-channeled rows sender·L+rel of the
+            # pre-projected (N·L, C) array, SUMMING relations into N out
+            # rows; backward gathers the (N, C) cotangent by receiver.
+            pf = _build_tables(
+                out_row=receivers, src_row=(senders * self.L + relations),
+                weights=weights, gids=gids, num_out_rows=self.num_nodes,
+                width_quantum=width_quantum, bucket_growth=bucket_growth,
+            )
+            pb = _build_tables(
+                out_row=(senders * self.L + relations), src_row=receivers,
+                weights=weights, gids=gids, num_out_rows=R,
+                width_quantum=width_quantum, bucket_growth=bucket_growth,
+            )
+            proj = ELLProjTables(
+                fwd=tuple(pf.buckets), fwd_inv=pf.inv_perm,
+                bwd=tuple(pb.buckets), bwd_inv=pb.inv_perm,
+            )
         self.tables = ELLTables(
             fwd=tuple(self._fwd), fwd_inv=self._fwd_inv,
             bwd=tuple(self._bwd), bwd_inv=self._bwd_inv,
+            proj=proj,
         )
 
     def pad_features(self, V: jnp.ndarray) -> jnp.ndarray:
@@ -312,4 +400,21 @@ class ELLGraphKernel:
         return ell_aggregate(
             tables if tables is not None else self.tables,
             V, jnp.asarray(seed), self.num_nodes, self.L, float(rate),
+        )
+
+    def neighbor_aggregate_projected(
+        self, Vr: jnp.ndarray, seed=0, rate: float = 0.0, tables=None
+    ) -> jnp.ndarray:
+        """Project-first aggregation: ``Vr (num_nodes·L, C)`` (row
+        ``n·L + r`` = ``V[n] @ W_r``) -> relation-summed ``(num_nodes,
+        C)``.  Requires ``plan_projected=True`` at construction.  See
+        :func:`ell_aggregate_projected`."""
+        tbl = tables if tables is not None else self.tables
+        if tbl.proj is None:
+            raise ValueError(
+                "kernel planned without plan_projected=True; no "
+                "projected tables available"
+            )
+        return ell_aggregate_projected(
+            tbl, Vr, jnp.asarray(seed), self.num_nodes, self.L, float(rate)
         )
