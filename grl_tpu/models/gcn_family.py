@@ -220,9 +220,26 @@ class GraphCNNDropEdge(nn.Module):
         )(inputs, train)
 
     @nn.compact
-    def __call__(self, inputs: Inputs, train: bool = False, **_: Any) -> jnp.ndarray:
+    def __call__(
+        self,
+        inputs: Inputs,
+        train: bool = False,
+        head_rows: Optional[Tuple[int, int, int]] = None,
+        **_: Any,
+    ) -> jnp.ndarray:
         dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         new_v = self.trunk_features(inputs, train)
+        if head_rows is not None:
+            # (groups, rows_per_group, keep): run the RanPAC expansion +
+            # classifier ONLY on the first `keep` rows of each group —
+            # the sampled-minibatch path's tree slots beyond level 0
+            # carry no labels, and the head (the network's widest
+            # matmuls: half_net*rp_factor = 1280 wide) is ~26% of the
+            # step when computed for all fanout slots. Full-graph and
+            # dense paths pass None (every row is a labeled node).
+            G, rows, keep = head_rows
+            new_v = new_v.reshape(G, rows, new_v.shape[-1])[:, :keep]
+            new_v = new_v.reshape(G * keep, new_v.shape[-1])
         rp_size = (self.net_size // 2) * self.rp_factor
         new_v = nn.relu(RanPAC(rp_size, dtype=dtype, name="w_rand")(new_v))
         new_v = nn.Dropout(self.dropout_rate, deterministic=not train)(new_v)

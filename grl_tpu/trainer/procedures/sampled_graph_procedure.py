@@ -72,6 +72,16 @@ class SampledGraphProcedure(BaseProcedure):
         # reshape+einsum instead of COO segment-sum scatter-adds.
         # sampler.tree_aggregation: false falls back to the COO path.
         self._use_tree = bool(cfg.get("tree_aggregation", True))
+        # Head slicing: the RanPAC+classifier head runs only on the
+        # level-0 target slots (the only labeled rows of the sampling
+        # tree) when the model supports the head_rows kwarg — ~26% of
+        # the device step at fanouts 10x10 (111 tree slots per target).
+        # sampler.head_slice: false disables.
+        import inspect
+
+        self._head_slice = bool(cfg.get("head_slice", True)) and (
+            "head_rows" in inspect.signature(type(model).__call__).parameters
+        )
         # Fuse K steps per dispatch (config: scan_steps): every sampled
         # batch has IDENTICAL static shapes (the sampling-tree contract),
         # so batches stack on a leading K axis with no bucketing and
@@ -151,19 +161,34 @@ class SampledGraphProcedure(BaseProcedure):
             model, tx = self.model, self.tx
             materialize = self._materialize
 
+            head_slice = self._head_slice
+            n_per_group = self.sampler.num_nodes
+            keep = self.sampler.batch_size
+
+            def head_kwargs(labels):
+                if not head_slice:
+                    return {}, labels
+                G = labels.shape[0]
+                return (
+                    {"head_rows": (G, n_per_group, keep)},
+                    labels[:, :keep],
+                )
+
             @partial(jax.jit, donate_argnums=(0,))
             def train_step(state: TrainState, features, nodes, graph,
                            labels, rng):
                 # The feature gather runs INSIDE the step — fused with
                 # the forward, no extra dispatch, no host row transfer.
                 V = materialize(features, nodes)
+                hk, labels = head_kwargs(labels)
 
                 def loss_fn(params):
                     variables = {"params": params}
                     if state.constants is not None:
                         variables["constants"] = state.constants
                     logits = model.apply(
-                        variables, (V, graph), train=True, rngs={"dropout": rng}
+                        variables, (V, graph), train=True,
+                        rngs={"dropout": rng}, **hk
                     )
                     logits = logits.reshape(*labels.shape, -1)
                     return cross_entropy(logits, labels)
@@ -182,7 +207,10 @@ class SampledGraphProcedure(BaseProcedure):
             @jax.jit
             def eval_step(state: TrainState, features, nodes, graph, labels):
                 V = materialize(features, nodes)
-                logits = model.apply(state.variables(), (V, graph), train=False)
+                hk, labels = head_kwargs(labels)
+                logits = model.apply(
+                    state.variables(), (V, graph), train=False, **hk
+                )
                 logits = logits.reshape(*labels.shape, -1)
                 preds = jnp.argmax(logits, axis=-1)
                 mask = labels != -100
@@ -198,10 +226,14 @@ class SampledGraphProcedure(BaseProcedure):
 
                 @partial(jax.jit, donate_argnums=(0,))
                 def train_scan(state, features, nodes_s, graph_s,
-                               labels_s, rngs):
+                               labels_s, rng):
+                    # ONE key in, per-step keys split on-device: a host
+                    # split per step is a tunnel dispatch (~1-2 ms).
+                    rngs = jax.random.split(rng, nodes_s.shape[0])
                     def body(st, xs):
                         nodes, graph, labels, rng = xs
                         V = materialize(features, nodes)
+                        hk, labels2 = head_kwargs(labels)
 
                         def loss_fn(params):
                             variables = {"params": params}
@@ -209,10 +241,10 @@ class SampledGraphProcedure(BaseProcedure):
                                 variables["constants"] = st.constants
                             logits = model.apply(
                                 variables, (V, graph), train=True,
-                                rngs={"dropout": rng},
+                                rngs={"dropout": rng}, **hk
                             )
-                            logits = logits.reshape(*labels.shape, -1)
-                            return cross_entropy(logits, labels)
+                            logits = logits.reshape(*labels2.shape, -1)
+                            return cross_entropy(logits, labels2)
 
                         loss, grads = jax.value_and_grad(loss_fn)(st.params)
                         updates, new_opt = tx.update(
@@ -237,18 +269,91 @@ class SampledGraphProcedure(BaseProcedure):
     def _flush_scan(self, buffer, losses_out) -> None:
         """Dispatch K buffered (nodes, graph, labels) batches as one
         fused lax.scan step; graph leaves stack on the K axis while the
-        static metadata rides the treedef."""
-        nodes_s = jnp.stack([b[0] for b in buffer])
-        graph_s = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[b[1] for b in buffer]
-        )
-        labels_s = jnp.stack([b[2] for b in buffer])
-        rngs = jnp.stack([b[3] for b in buffer])
+        static metadata rides the treedef.
+
+        Buffer entries are HOST batches ``(SampledBatch, rng)``: the K
+        batches stack in numpy and cross to the device as ONE transfer
+        per leaf. The previous per-batch placement paid ~4 tunnel
+        transfer round-trips per batch plus device-side stack dispatches
+        — measured 6.7 ms/step of H2D against ~100 KB of actual index
+        payload (bench sampled_breakdown, VERDICT r4 weak #4)."""
+        batches = list(buffer)
+        self.rng, rng = jax.random.split(self.rng)
+        if self._use_tree:
+            from grl_tpu.ops.tree import TreeGraph
+
+            arrays = {
+                "nodes": np.stack([b.nodes for b in batches]).astype(np.int32),
+                "labels": np.stack([b.labels for b in batches]),
+                "relations": np.stack(
+                    [b.relations for b in batches]
+                ).astype(np.int32),
+                "weights": np.stack([b.weights for b in batches]),
+            }
+            placed = self._place_scan_stacked(
+                arrays, pad_values={"labels": -100, "nodes": -1}
+            )
+            K, G, maxN = placed["labels"].shape
+            graph_s = TreeGraph(
+                weights=placed["weights"],
+                relations=placed["relations"],
+                level_sizes=tuple(self.sampler.level_sizes),
+                fanouts=self.sampler.fanouts,
+                num_relations=self.data.num_relations,
+            )
+            nodes_s = placed["nodes"].reshape(K, G * maxN)
+            labels_s = placed["labels"]
+        else:
+            placed_each = [self._place(b) for b in batches]
+            nodes_s = jnp.stack([p[0] for p in placed_each])
+            graph_s = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[p[1] for p in placed_each]
+            )
+            labels_s = jnp.stack([p[2] for p in placed_each])
         self.state, losses = self._train_scan_fn(
-            self.state, self._features_dev, nodes_s, graph_s, labels_s, rngs
+            self.state, self._features_dev, nodes_s, graph_s, labels_s, rng
         )
         losses_out.extend(float(x) for x in np.asarray(losses))
         buffer.clear()
+
+    def _place_scan_stacked(self, arrays, pad_values=None):
+        """Device-place ``(K, G, ...)`` host-stacked arrays in one
+        transfer per leaf; under a mesh, pad the GROUP axis to the data
+        axis and pin ``P(None, "data", ...)`` so each scan slice keeps
+        the per-step batch sharding (the KVProcedure _stack_for_scan
+        placement)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        d = int(self.mesh.shape.get("data", 1))
+        G = next(iter(arrays.values())).shape[1]
+        pad = (-G) % d
+        if pad:
+            pad_values = pad_values or {}
+            arrays = {
+                k: np.concatenate(
+                    [
+                        v,
+                        np.full(
+                            (v.shape[0], pad, *v.shape[2:]),
+                            pad_values.get(k, 0), v.dtype,
+                        ),
+                    ],
+                    axis=1,
+                )
+                for k, v in arrays.items()
+            }
+        return {
+            k: jax.device_put(
+                v,
+                NamedSharding(
+                    self.mesh, P(None, "data", *([None] * (v.ndim - 2)))
+                ),
+            )
+            for k, v in arrays.items()
+        }
 
     # ------------------------------------------------------------------
     def _batches(self, mask):
@@ -280,21 +385,26 @@ class SampledGraphProcedure(BaseProcedure):
             buffer = []
             for batch in self._batches(self.data.train_mask):
                 self._ensure_initialized(batch)
-                nodes, graph, labels = self._place(batch)
-                self.rng, step_rng = jax.random.split(self.rng)
                 steps += 1
                 if self._train_scan_fn is not None:
-                    buffer.append((nodes, graph, labels, step_rng))
+                    # Host batches buffer; _flush_scan stacks in numpy,
+                    # crosses to the device once per leaf, and draws ONE
+                    # rng per flush (split per-step on-device).
+                    buffer.append(batch)
                     if len(buffer) == self._scan_k:
                         self._flush_scan(buffer, losses)
                     continue
+                self.rng, step_rng = jax.random.split(self.rng)
+                nodes, graph, labels = self._place(batch)
                 self.state, loss = self._train_fn(
                     self.state, self._features_dev, nodes, graph, labels,
                     step_rng,
                 )
                 losses.append(float(loss))
             # Remainder batches (< scan_k) drain through per-step dispatch.
-            for nodes, graph, labels, step_rng in buffer:
+            for batch in buffer:
+                self.rng, step_rng = jax.random.split(self.rng)
+                nodes, graph, labels = self._place(batch)
                 self.state, loss = self._train_fn(
                     self.state, self._features_dev, nodes, graph, labels,
                     step_rng,

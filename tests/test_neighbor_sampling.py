@@ -180,7 +180,13 @@ class TestDeviceResidentFeatures:
     def test_scanned_matches_stepwise(self, sbm, tmp_path):
         """scan_steps on the sampled procedure (identical static batch
         shapes -> no bucketing): fused lax.scan dispatches reproduce the
-        per-step path's parameters exactly with the same seed."""
+        per-step path's parameters exactly with the same seed.
+
+        Dropout/DropEdge are OFF: the scanned path draws ONE rng per
+        flush and splits per-step ON-DEVICE (a host split per step is a
+        tunnel dispatch), so its stochastic stream intentionally differs
+        from the per-step path — the invariant protected here is that
+        the scan composition itself changes no math."""
         import jax
 
         from grl_tpu.config import ConfigDict
@@ -207,6 +213,7 @@ class TestDeviceResidentFeatures:
             model = GraphCNNDropEdge(
                 input_dim=sbm.features.shape[1], output_dim=sbm.num_classes,
                 num_edges=sbm.num_relations, net_size=32, use_attention=False,
+                dropout_rate=0.0, edge_dropout_rate=0.0,
             )
             proc = SampledGraphProcedure(model, config, sbm)
             proc()
