@@ -137,7 +137,15 @@ class KVInference(BaseProcedure):
         outputs: List[Optional[List[Dict[str, Any]]]] = [None] * len(encoded)
 
         # Group pages into same-bucket batches for cached executables.
+        # TWO-PHASE dispatch: every bucket batch is ENQUEUED first (the
+        # device results stay as lazy jax arrays, so dispatches pipeline
+        # through the accelerator link), and fetched+annotated in a
+        # second pass — one effective host<->device sync for the whole
+        # request instead of one per batch (through the TPU tunnel a
+        # sync costs 2-60 ms; per-batch fetching made serving
+        # dispatch-latency-bound at ~8 pages per round-trip).
         order = sorted(range(len(encoded)), key=lambda i: encoded[i][1])
+        pending = []
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             bucket = next_bucket(max(encoded[i][1] for i in chunk), quantum=64)
@@ -149,6 +157,8 @@ class KVInference(BaseProcedure):
                 adj = np.asarray(sample["adjacency_matrix"], np.float32)
                 A[row, :n, : adj.shape[1], :n] = adj
             scores, classes = self._forward(self.variables, jnp.asarray(V), jnp.asarray(A))
+            pending.append((chunk, scores, classes))
+        for chunk, scores, classes in pending:
             scores, classes = np.asarray(scores), np.asarray(classes)
             for row, i in enumerate(chunk):
                 sample, n = encoded[i]
