@@ -1068,6 +1068,32 @@ def main() -> None:
                 print(f"[bench] sampled proc failed: {err}", file=sys.stderr)
                 failed.append("sampled_proc")
 
+    serving_pps = None
+    if not quick:
+        # Serving surface (KVInference end-to-end) via the dedicated
+        # script — pipelined dispatches + async fetches + pinned params.
+        import subprocess
+
+        def run_serving():
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "bench_inference.py"),
+                 "--pages", "64"],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in out.stdout.splitlines()[::-1]:
+                if line.startswith("{"):
+                    return json.loads(line)["pages_per_s"]
+            raise RuntimeError(
+                f"no JSON line from bench_inference (rc={out.returncode}): "
+                f"{out.stderr[-300:]}"
+            )
+
+        try:
+            serving_pps = retry(run_serving, label="serving bench")
+        except Exception as err:
+            print(f"[bench] serving bench failed: {err}", file=sys.stderr)
+            failed.append("serving")
+
     try:
         baseline_steps = measure_torch_baseline()
     except Exception as err:  # baseline unavailable: report absolute only
@@ -1117,6 +1143,7 @@ def main() -> None:
                 if sampled_nps
                 else None,
                 "sampled_breakdown": sampled_breakdown,
+                "serving_pages_per_s": serving_pps,
                 "failed_configs": failed or None,
             }
         )

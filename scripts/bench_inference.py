@@ -27,6 +27,12 @@ def main() -> None:
     pages = 64
     if "--pages" in sys.argv:
         pages = int(sys.argv[sys.argv.index("--pages") + 1])
+    # --production-charset pads the synthetic charset to the reference's
+    # master size (4365 chars -> input_dim 4369, net_size 256): the
+    # synthetic charset alone (~60 chars) makes the forward so small the
+    # device cannot matter, which hides the serving path's real
+    # CPU-vs-TPU gap.
+    production = "--production-charset" in sys.argv
 
     from grl_tpu.config import ConfigDict
     from grl_tpu.data.synthetic import synthetic_dataset_files, synthetic_page
@@ -38,6 +44,12 @@ def main() -> None:
         tmp, num_pages=8, seed=0
     )
     charset = json.load(open(charset_path))["charset"]
+    if production:
+        pad = [chr(0x4E00 + i) for i in range(4365 - len(charset))]
+        charset = sorted(set(charset) | set(pad))
+        charset_path = os.path.join(tmp, "charset_prod.json")
+        with open(charset_path, "w") as fh:
+            json.dump({"charset": charset}, fh)
     input_dim = len(charset) + 4
 
     # 1-epoch training to produce the checkpoint the inference path loads.
@@ -66,7 +78,8 @@ def main() -> None:
         }
     )
     model = GraphCNNDropEdge(
-        input_dim=input_dim, output_dim=15, num_edges=6, net_size=64
+        input_dim=input_dim, output_dim=15, num_edges=6,
+        net_size=256 if production else 64,
     )
     GNNLearningWarper(model, config=train_cfg).train()
 
@@ -122,6 +135,7 @@ def main() -> None:
                 "pages": pages,
                 "boxes": boxes,
                 "batch_size": 8,
+                "input_dim": input_dim,
             }
         )
     )
