@@ -882,6 +882,16 @@ def main() -> None:
     quick = "--quick" in sys.argv  # single-config fast run (ADVICE r1)
     failed: list[str] = []
     enable_compile_cache()
+    # TPU-native hardware PRNG for every dropout/DropEdge stream — the
+    # product configuration (config rng_impl: rbg, base_procedure.py).
+    # threefry generated the dense flagship's (8,256,1280)-class masks
+    # in software: measured 1069 -> 1627 scanned steps/s (1.52x) at sumi
+    # scale, i.e. the old headline was ~34% software RNG — which also
+    # explains why bf16 barely beat f32 per dispatch (RNG cost is
+    # dtype-independent VPU work diluting the MXU gain).
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
 
     try:
         peak_flops, hbm_bps = retry(detect_peaks, label="device detect")
@@ -1111,6 +1121,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "dropedge_train_dense_adj_throughput",
+                "prng_impl": "rbg",
                 "value": round(value, 1) if value else None,
                 "unit": "adj_entries/s/chip",
                 "vs_baseline": vs,

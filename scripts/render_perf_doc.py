@@ -75,12 +75,39 @@ def render(bench: dict, date: str) -> str:
             "measured gather-transaction roofline "
             f"(byte-floor fraction {bench.get('sparse_hbm_frac')}).\n"
         )
+    structures = bench.get("sparse_structures")
+    if structures:
+        lines.append(
+            "\n#### Tile-dense hybrid vs ELL by graph structure "
+            "(169k nodes, fwd+bwd, scan-fused protocol)\n"
+        )
+        lines.append(
+            "| Structure | edges | ELL B edges/s | tile B edges/s | "
+            "speedup | tile coverage |\n|---|---|---|---|---|---|\n"
+        )
+        for name, row in structures.items():
+            e = row["ell_edges_per_s"]
+            t = row["tile_edges_per_s"]
+            lines.append(
+                f"| {name} | {row['edges']:,} | {e / 1e9:.3f} | "
+                f"{t / 1e9:.3f} | {t / e:.2f}x | "
+                f"{100 * row['tile_coverage']:.0f}% ({row['tiles']} tiles) |\n"
+            )
+        lines.append(
+            "\nTiles only exist where the (LPA-reordered) adjacency has "
+            "blocks above the density threshold; on graphs with no such "
+            "structure the planner selects zero tiles and the kernel is "
+            "exactly ELL — the homophily fraction's gather floor bounds "
+            "the clustered-graph ceiling (~0.29 B edges/s at 20% "
+            "cross-community edges).\n"
+        )
     fg = bench.get("full_graph_edges_per_s")
     sp = bench.get("sampled_target_nodes_per_s")
     lines.append("\n#### Product procedures at arxiv scale (BASELINE configs 3-4)\n")
     if fg:
         lines.append(
-            f"- FullGraphProcedure (kernel_impl=ell, scan_steps=10): "
+            f"- FullGraphProcedure (kernel_impl=ell + projected tables + "
+            f"arithmetic buckets + rbg PRNG, scan_steps=10): "
             f"**{fg / 1e6:.1f} M edges/s** per training epoch through the "
             "real trainer.\n"
         )
@@ -88,7 +115,23 @@ def render(bench: dict, date: str) -> str:
         lines.append(
             f"- SampledGraphProcedure (fanouts 10x10, B=256): "
             f"**{sp:,.0f} target nodes/s** including host neighbor "
-            "sampling and H2D transfer.\n"
+            "sampling and H2D transfer"
+        )
+        bd = bench.get("sampled_breakdown")
+        if bd:
+            lines.append(
+                f" (per-step: host sampling "
+                f"{bd.get('host_sample_ms')} ms, host buffering "
+                f"{bd.get('h2d_ms')} ms, device+dispatch "
+                f"{bd.get('device_dispatch_ms')} ms)"
+            )
+        lines.append(".\n")
+    pps = bench.get("serving_pages_per_s")
+    if pps:
+        lines.append(
+            f"- Serving (KVInference end-to-end, 64 pages, batch 8): "
+            f"**{pps:.0f} pages/s** — pipelined dispatches, async result "
+            "fetches, device-pinned params.\n"
         )
     failed = bench.get("failed_configs")
     lines.append(
