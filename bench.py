@@ -893,6 +893,34 @@ def main() -> None:
 
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    # Serving surface (KVInference end-to-end) in a SUBPROCESS, run
+    # BEFORE this process initializes the TPU backend — the tunnel
+    # admits one process at a time, so it must go first.
+    serving_pps = None
+    if not quick:
+        import subprocess
+
+        def run_serving():
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "bench_inference.py"),
+                 "--pages", "64"],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in out.stdout.splitlines()[::-1]:
+                if line.startswith("{"):
+                    return json.loads(line)["pages_per_s"]
+            raise RuntimeError(
+                f"no JSON line from bench_inference (rc={out.returncode}): "
+                f"{out.stderr[-300:]}"
+            )
+
+        try:
+            serving_pps = retry(run_serving, label="serving bench")
+        except Exception as err:
+            print(f"[bench] serving bench failed: {err}", file=sys.stderr)
+            failed.append("serving")
+
     try:
         peak_flops, hbm_bps = retry(detect_peaks, label="device detect")
     except Exception as err:
@@ -1055,6 +1083,7 @@ def main() -> None:
     # Product-procedure measurements (BASELINE configs 3-4 as the product
     # runs them — VERDICT r3 missing #3).
     full_graph_eps = sampled_nps = sampled_breakdown = None
+    sampled_nps_512 = None
     if not quick:
         data = None
         try:
@@ -1077,32 +1106,14 @@ def main() -> None:
             except Exception as err:
                 print(f"[bench] sampled proc failed: {err}", file=sys.stderr)
                 failed.append("sampled_proc")
-
-    serving_pps = None
-    if not quick:
-        # Serving surface (KVInference end-to-end) via the dedicated
-        # script — pipelined dispatches + async fetches + pinned params.
-        import subprocess
-
-        def run_serving():
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "scripts", "bench_inference.py"),
-                 "--pages", "64"],
-                capture_output=True, text=True, timeout=900,
-            )
-            for line in out.stdout.splitlines()[::-1]:
-                if line.startswith("{"):
-                    return json.loads(line)["pages_per_s"]
-            raise RuntimeError(
-                f"no JSON line from bench_inference (rc={out.returncode}): "
-                f"{out.stderr[-300:]}"
-            )
-
-        try:
-            serving_pps = retry(run_serving, label="serving bench")
-        except Exception as err:
-            print(f"[bench] serving bench failed: {err}", file=sys.stderr)
-            failed.append("serving")
+            try:
+                sampled_nps_512, _ = retry(
+                    lambda: measure_sampled(data, batch_size=512),
+                    label="sampled proc b512",
+                )
+            except Exception as err:
+                print(f"[bench] sampled b512 failed: {err}", file=sys.stderr)
+                failed.append("sampled_proc_b512")
 
     try:
         baseline_steps = measure_torch_baseline()
@@ -1154,6 +1165,9 @@ def main() -> None:
                 if sampled_nps
                 else None,
                 "sampled_breakdown": sampled_breakdown,
+                "sampled_target_nodes_per_s_b512": round(sampled_nps_512, 1)
+                if sampled_nps_512
+                else None,
                 "serving_pages_per_s": serving_pps,
                 "failed_configs": failed or None,
             }

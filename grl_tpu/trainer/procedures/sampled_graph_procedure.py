@@ -63,10 +63,15 @@ class SampledGraphProcedure(BaseProcedure):
         self._features_dev = jnp.asarray(
             np.asarray(self.data.features, np.float32)
         )
+        # Fuse K steps per dispatch (config: scan_steps) — read early so
+        # the prefetch default can cover a whole flush.
+        self._scan_k = max(1, int(self.config.get("scan_steps", 1)))
         # Host neighbor sampling overlaps device compute: a background
         # thread runs `prefetch` batches ahead (config: sampler.prefetch;
-        # 0 disables).
-        self._prefetch = int(cfg.get("prefetch", 2))
+        # 0 disables). Default depth covers one fused dispatch: during a
+        # K-step flush the producer can stage the entire next flush, so
+        # the fill loop never waits on sampling.
+        self._prefetch = int(cfg.get("prefetch", max(2, self._scan_k)))
         # Positional-tree aggregation (grl_tpu/ops/tree.py): the tree's
         # edge endpoints are compile-time constants, so GraphConv runs
         # reshape+einsum instead of COO segment-sum scatter-adds.
@@ -82,13 +87,11 @@ class SampledGraphProcedure(BaseProcedure):
         self._head_slice = bool(cfg.get("head_slice", True)) and (
             "head_rows" in inspect.signature(type(model).__call__).parameters
         )
-        # Fuse K steps per dispatch (config: scan_steps): every sampled
-        # batch has IDENTICAL static shapes (the sampling-tree contract),
-        # so batches stack on a leading K axis with no bucketing and
-        # lax.scan slices per-step graphs — host sampling costs ~1 ms
-        # per batch while the per-step dispatch round-trip costs more
-        # than the device step, so fusion sets the throughput.
-        self._scan_k = max(1, int(self.config.get("scan_steps", 1)))
+        # (scan_steps rationale: every sampled batch has IDENTICAL static
+        # shapes — the sampling-tree contract — so batches stack on a
+        # leading K axis with no bucketing and lax.scan slices per-step
+        # graphs; the per-step dispatch round-trip costs more than the
+        # device step, so fusion sets the throughput.)
         self.state = None
         self._train_fn = None
         self._train_scan_fn = None
