@@ -76,11 +76,18 @@ class BaseProcedure:
         # mask in software — measured ~13 ms/step at arxiv scale, ~18%
         # of the whole full-graph train step; rbg is near-free. Still
         # deterministic per seed; the streams differ from threefry's, so
-        # fixed-seed runs change ONCE when flipping this knob.
+        # fixed-seed runs change ONCE when flipping this knob. The impl
+        # rides the ROOT KEY (every split inherits it) rather than the
+        # global jax config, so one procedure's choice cannot leak into
+        # other procedures/tests in the same process.
         rng_impl = self.config.get("rng_impl")
         if rng_impl:
-            jax.config.update("jax_default_prng_impl", str(rng_impl))
-        self.rng = jax.random.PRNGKey(self.seed)
+            # TYPED key: raw uint32 keys do not carry their impl (they
+            # are re-interpreted under the global default at every
+            # split), typed keys do.
+            self.rng = jax.random.key(self.seed, impl=str(rng_impl))
+        else:
+            self.rng = jax.random.PRNGKey(self.seed)
 
         self.criterion = self._init_criterion()
         self.optimizer_factory = self._init_optimizer()
