@@ -1047,12 +1047,16 @@ def main() -> None:
             profiler_check = "unavailable"
 
     # Larger-N shape (stderr table only; same metric definition).
+    # Scanned like the headline: per-dispatch timing measures the tunnel
+    # round-trip (~24 ms under backlog), not the ~1.3 ms device step.
     big = {}
     if not quick:
         for impl, dt in (("pallas", "bfloat16"), ("xla", "bfloat16")):
             try:
                 s, _, _ = retry(
-                    lambda i=impl, d=dt: measure_tpu(i, d, b=2, n=1024),
+                    lambda i=impl, d=dt: measure_tpu(
+                        i, d, b=2, n=1024, scan_k=SCAN_K
+                    ),
                     label=f"large-N {impl}+{dt}",
                 )
                 big[f"{impl}+{dt}"] = round(s * adj_entries_per_step(2, 1024), 1)
