@@ -522,12 +522,19 @@ def measure_sparse(
         lambda: chained_time(xla_grad, V), label="sparse xla segsum"
     )
 
-    def run_kernel(cls):
+    def run_kernel(cls, **plan_kw):
         kern = cls(
             np.asarray(graph.senders), np.asarray(graph.receivers),
             np.asarray(graph.relations), np.asarray(graph.weights),
             num_nodes=Nn, num_relations=graph.num_relations, feature_dim=F,
+            **plan_kw,
         )
+        Vin = V
+        perm = getattr(kern, "node_perm", None)
+        if perm is not None:
+            vp = np.zeros_like(feats)
+            vp[perm] = feats
+            Vin = jnp.asarray(vp)
 
         @jax.jit
         def kern_grad(v, s):
@@ -536,12 +543,20 @@ def measure_sparse(
             )(v * s)
             return chain_scalar(g)
 
-        return chained_time(kern_grad, V)
+        return chained_time(kern_grad, Vin)
 
-    for name, cls in (("ell", ELLGraphKernel), ("pallas csr", CSRGraphKernel)):
+    sweep = (
+        ("ell", ELLGraphKernel, {}),
+        # kernel_plan: {reorder: degree, ...} — the degree-bucket node
+        # order makes the fwd stitch gathers trivial (grl_tpu/ops/ell.py)
+        ("ell sorted", ELLGraphKernel,
+         {"reorder": "degree", "width_quantum": 2, "bucket_growth": 1}),
+        ("pallas csr", CSRGraphKernel, {}),
+    )
+    for name, cls, kw in sweep:
         try:
             results[name] = retry(
-                lambda c=cls: run_kernel(c), label=f"sparse {name}"
+                lambda c=cls, k=kw: run_kernel(c, **k), label=f"sparse {name}"
             )
         except Exception as err:
             print(f"[bench] {name} sparse failed: {err}", file=sys.stderr)
@@ -737,6 +752,9 @@ def measure_full_graph(data, dispatches: int = 3) -> float:
                     "plan_projected": True,
                     "width_quantum": 2,
                     "bucket_growth": 1,
+                    # Degree-bucket node order: the forward stitch
+                    # gathers become identity and are skipped.
+                    "reorder": "degree",
                 },
                 # TPU-native hardware PRNG for dropout masks (threefry
                 # costs ~13 ms/step at this scale — base_procedure.py).

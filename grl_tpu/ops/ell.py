@@ -225,9 +225,19 @@ def zero_cotangent(tree):
     return jax.tree.map(zero, tree)
 
 
+def _trivial_inv(plan) -> bool:
+    """True when the bucket-concatenated rows are already in natural
+    order (degree-sorted node space) and the stitch gather can be
+    skipped — it would be an identity costing one row-gather per out
+    row (~0.5 ms/pass at arxiv scale)."""
+    return bool(np.array_equal(plan.perm, np.arange(len(plan.perm))))
+
+
 def _ell_fwd_only(tables, V, seed, num_nodes, L, rate):
     parts = [_gather_reduce(V, b, seed, rate) for b in tables.fwd]
-    out = jnp.take(jnp.concatenate(parts, axis=0), tables.fwd_inv, axis=0)
+    out = jnp.concatenate(parts, axis=0)
+    if tables.fwd_inv is not None:
+        out = jnp.take(out, tables.fwd_inv, axis=0)
     return out.reshape(num_nodes, L * V.shape[-1]).astype(V.dtype)
 
 
@@ -249,7 +259,9 @@ def _ell_bwd(num_nodes, L, rate, residuals, g):
     F = V.shape[-1]
     g2 = g.reshape(num_nodes * L, F)
     parts = [_gather_reduce(g2, b, seed, rate) for b in tables.bwd]
-    dV = jnp.take(jnp.concatenate(parts, axis=0), tables.bwd_inv, axis=0)
+    dV = jnp.concatenate(parts, axis=0)
+    if tables.bwd_inv is not None:
+        dV = jnp.take(dV, tables.bwd_inv, axis=0)
     dV = dV.astype(V.dtype)
     if V.shape[0] > num_nodes:
         dV = jnp.pad(dV, ((0, V.shape[0] - num_nodes), (0, 0)))
@@ -262,7 +274,9 @@ ell_aggregate.defvjp(_ell_fwd, _ell_bwd)
 
 def _ell_proj_fwd_only(proj, Vr, seed, num_nodes, rate):
     parts = [_gather_reduce(Vr, b, seed, rate) for b in proj.fwd]
-    out = jnp.take(jnp.concatenate(parts, axis=0), proj.fwd_inv, axis=0)
+    out = jnp.concatenate(parts, axis=0)
+    if proj.fwd_inv is not None:
+        out = jnp.take(out, proj.fwd_inv, axis=0)
     return out.astype(Vr.dtype)
 
 
@@ -293,7 +307,9 @@ def _ell_proj_vjp_bwd(num_nodes, L, rate, residuals, g):
     tables, Vr, seed = residuals
     proj = tables.proj
     parts = [_gather_reduce(g, b, seed, rate) for b in proj.bwd]
-    dVr = jnp.take(jnp.concatenate(parts, axis=0), proj.bwd_inv, axis=0)
+    dVr = jnp.concatenate(parts, axis=0)
+    if proj.bwd_inv is not None:
+        dVr = jnp.take(dVr, proj.bwd_inv, axis=0)
     dVr = dVr.astype(Vr.dtype)
     if Vr.shape[0] > num_nodes * L:
         dVr = jnp.pad(dVr, ((0, Vr.shape[0] - num_nodes * L), (0, 0)))
@@ -323,6 +339,7 @@ class ELLGraphKernel:
         width_quantum: int = 4,
         bucket_growth: int = 2,
         plan_projected: bool = False,
+        reorder: str = "none",
         **_ignored,  # planner kwargs shared with CSRGraphKernel
     ):
         senders = np.asarray(senders, np.int64)
@@ -337,6 +354,36 @@ class ELLGraphKernel:
         self.num_nodes = int(num_nodes)
         self.L = int(num_relations)
         R = self.num_nodes * self.L
+
+        # reorder="degree": relabel nodes in in-degree-BUCKET order so
+        # the forward tables' bucket-concatenated rows land in natural
+        # order — the O(N) inverse-permutation stitch gather (one row
+        # per out row, ~0.5 ms/pass at arxiv scale) becomes the identity
+        # and is skipped entirely. Single-relation graphs only (L>1 out
+        # rows interleave relations per node, which no node order can
+        # bucket-sort). The caller must place features/labels through
+        # node_perm, exactly as for the tile kernel's LPA order
+        # (attach_kernel + FullGraphProcedure handle it).
+        self.node_perm = None
+        if reorder == "degree" and self.L == 1 and len(senders):
+            counts = np.bincount(receivers, minlength=self.num_nodes)
+            max_deg = int(counts.max())
+            widths = [width_quantum]
+            while widths[-1] < max(max_deg, 1):
+                widths.append(
+                    widths[-1] * bucket_growth
+                    if bucket_growth > 1
+                    else widths[-1] + width_quantum
+                )
+            bucket_of = np.searchsorted(np.asarray(widths), counts)
+            order = np.argsort(bucket_of, kind="stable")
+            perm = np.empty(self.num_nodes, np.int64)
+            perm[order] = np.arange(self.num_nodes)
+            self.node_perm = perm
+            senders = perm[senders]
+            receivers = perm[receivers]
+        elif reorder not in ("none", None, "degree"):
+            raise ValueError(f"unknown reorder {reorder!r} for ELL")
 
         # forward: out row (node*L + rel) gathers sender rows of V.
         fwd_plan = _build_tables(
@@ -372,12 +419,16 @@ class ELLGraphKernel:
                 width_quantum=width_quantum, bucket_growth=bucket_growth,
             )
             proj = ELLProjTables(
-                fwd=tuple(pf.buckets), fwd_inv=pf.inv_perm,
-                bwd=tuple(pb.buckets), bwd_inv=pb.inv_perm,
+                fwd=tuple(pf.buckets),
+                fwd_inv=None if _trivial_inv(pf) else pf.inv_perm,
+                bwd=tuple(pb.buckets),
+                bwd_inv=None if _trivial_inv(pb) else pb.inv_perm,
             )
         self.tables = ELLTables(
-            fwd=tuple(self._fwd), fwd_inv=self._fwd_inv,
-            bwd=tuple(self._bwd), bwd_inv=self._bwd_inv,
+            fwd=tuple(self._fwd),
+            fwd_inv=None if _trivial_inv(fwd_plan) else self._fwd_inv,
+            bwd=tuple(self._bwd),
+            bwd_inv=None if _trivial_inv(bwd_plan) else self._bwd_inv,
             proj=proj,
         )
 

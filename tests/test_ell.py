@@ -278,3 +278,66 @@ class TestProjectedAggregation:
         # the same math, so training lands at the same accuracy
         np.testing.assert_allclose(accs[1], accs[0], atol=0.02)
         assert accs[1] > 0.5
+
+
+class TestDegreeReorder:
+    """reorder="degree": in-degree-bucket node order makes the forward
+    (and projected-forward) stitch permutations trivial — they are
+    dropped from the tables (inv=None) — while numerics match the
+    natural-order kernel exactly through the node_perm contract."""
+
+    def test_trivial_stitch_and_parity(self):
+        rng = np.random.RandomState(0)
+        N, E, F = 900, 7000, 12
+        send, recv = rng.randint(0, N, E), rng.randint(0, N, E)
+        rel = np.zeros(E, np.int64)
+        w = rng.rand(E).astype(np.float32) + 0.5
+        V = rng.randn(N, F).astype(np.float32)
+
+        from grl_tpu.ops.sparse import RelationalGraph, relational_neighbor_coo
+
+        graph = RelationalGraph(
+            senders=jnp.asarray(send.astype(np.int32)),
+            receivers=jnp.asarray(recv.astype(np.int32)),
+            relations=jnp.asarray(rel.astype(np.int32)),
+            weights=jnp.asarray(w), mask=jnp.ones(E, bool),
+            num_nodes=N, num_relations=1,
+        )
+        ref = np.asarray(relational_neighbor_coo(jnp.asarray(V), graph))
+        g_ref = np.asarray(
+            jax.grad(
+                lambda v: (relational_neighbor_coo(v, graph) ** 2).sum()
+            )(jnp.asarray(V))
+        )
+
+        kern = ELLGraphKernel(
+            send, recv, rel, w, num_nodes=N, num_relations=1,
+            reorder="degree", plan_projected=True,
+            width_quantum=2, bucket_growth=1,
+        )
+        assert kern.node_perm is not None
+        assert kern.tables.fwd_inv is None
+        assert kern.tables.proj.fwd_inv is None
+        Vp = np.zeros_like(V)
+        Vp[kern.node_perm] = V
+        out = np.asarray(kern.neighbor_aggregate(jnp.asarray(Vp)))
+        np.testing.assert_allclose(out[kern.node_perm], ref, rtol=1e-4, atol=1e-4)
+        gk = np.asarray(
+            jax.grad(lambda v: (kern.neighbor_aggregate(v) ** 2).sum())(
+                jnp.asarray(Vp)
+            )
+        )
+        np.testing.assert_allclose(
+            gk[kern.node_perm], g_ref, rtol=1e-3, atol=1e-3
+        )
+
+    def test_multi_relation_noop(self):
+        # L>1 out rows interleave relations: no node order can
+        # bucket-sort them, so the reorder is skipped (perm None).
+        rng = np.random.RandomState(1)
+        kern = ELLGraphKernel(
+            rng.randint(0, 50, 300), rng.randint(0, 50, 300),
+            rng.randint(0, 3, 300), np.ones(300, np.float32),
+            num_nodes=50, num_relations=3, reorder="degree",
+        )
+        assert kern.node_perm is None
