@@ -334,3 +334,51 @@ class TestTreeAggregation:
         np.testing.assert_allclose(
             np.asarray(out_tree), np.asarray(out_coo), rtol=2e-5, atol=2e-5
         )
+
+
+class TestHeadSlicing:
+    def test_head_rows_matches_full_logits(self):
+        """GraphCNNDropEdge(head_rows=(G, rows, keep)) must equal the
+        full forward's logits at the kept (level-0 target) slots — the
+        head is a per-row map, so slicing before it changes nothing."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from grl_tpu.models import GraphCNNDropEdge, init_model
+
+        G, rows, keep, F, C = 3, 40, 8, 16, 5
+        model = GraphCNNDropEdge(
+            input_dim=F, output_dim=C, num_edges=2, net_size=16,
+            use_attention=False,
+        )
+        rng = np.random.RandomState(0)
+        V = jnp.asarray(rng.randn(G * rows, F).astype(np.float32))
+        A = jnp.asarray(
+            (rng.rand(G * rows, 2, G * rows) < 0.05).astype(np.float32)
+        )[None][0]
+        # dense per-sample adjacency expects (B, N, L, N); use flat
+        # sparse COO instead to keep shapes simple
+        from grl_tpu.ops.sparse import RelationalGraph
+
+        E = 500
+        graph = RelationalGraph(
+            senders=jnp.asarray(rng.randint(0, G * rows, E).astype(np.int32)),
+            receivers=jnp.asarray(rng.randint(0, G * rows, E).astype(np.int32)),
+            relations=jnp.asarray(rng.randint(0, 2, E).astype(np.int32)),
+            weights=jnp.ones(E, jnp.float32),
+            mask=jnp.ones(E, bool),
+            num_nodes=G * rows,
+            num_relations=2,
+        )
+        variables = init_model(model, jax.random.PRNGKey(0), (V, graph))
+        full = model.apply(variables, (V, graph), train=False)
+        sliced = model.apply(
+            variables, (V, graph), train=False, head_rows=(G, rows, keep)
+        )
+        expected = np.asarray(full).reshape(G, rows, -1)[:, :keep].reshape(
+            G * keep, -1
+        )
+        np.testing.assert_allclose(
+            np.asarray(sliced), expected, rtol=1e-5, atol=1e-5
+        )
