@@ -126,6 +126,7 @@ class TileTables(NamedTuple):
     fwd: tuple  # per-relation Optional[_DirectionPlan]
     bwd: tuple
     ell: object  # Optional[ELLTables] for the residual edges
+    proj: object = None  # () when the projected mode is planned
 
 
 def _rel_seed_mix(r: int) -> int:
@@ -307,12 +308,19 @@ class TileGraphKernel:
         reorder: str = "lpa",
         feature_dim: int = 128,
         tile_dtype: str = "float32",
+        plan_projected: bool = False,
         **ell_kwargs,
     ):
         # Residual rows average ~2-3 edges (the below-threshold tail), so
         # the narrowest ELL bucket width defaults tighter than the
         # standalone kernel's 4 (less padding -> fewer wasted gathers).
         ell_kwargs.setdefault("width_quantum", 2)
+        # Projected mode (sum_r A_r (V W_r)): the tile part reuses its
+        # per-relation tables unchanged — only the per-relation stitch
+        # turns into an accumulate — but the ELL residual needs its own
+        # projected plan.
+        self._plan_projected = bool(plan_projected)
+        ell_kwargs.setdefault("plan_projected", self._plan_projected)
         senders = np.asarray(senders, np.int64)
         receivers = np.asarray(receivers, np.int64)
         relations = np.asarray(relations, np.int64)
@@ -405,6 +413,9 @@ class TileGraphKernel:
             fwd=tuple(self._fwd_plans),
             bwd=tuple(self._bwd_plans),
             ell=self._ell.tables if self._ell is not None else None,
+            # () = projected mode available (an empty pytree node, so the
+            # marker is pure static structure GraphConv can branch on)
+            proj=() if self._plan_projected else None,
         )
 
     def pad_features(self, V: jnp.ndarray) -> jnp.ndarray:
@@ -433,6 +444,36 @@ class TileGraphKernel:
         if self._ell is not None:
             out = out + self._ell.neighbor_aggregate(
                 V, seed, rate, tables=tbl.ell
+            )
+        return out
+
+    def neighbor_aggregate_projected(
+        self, Vr: jnp.ndarray, seed=0, rate: float = 0.0, tables=None
+    ) -> jnp.ndarray:
+        """Project-first aggregation: ``Vr (num_nodes·L, C)`` (row
+        ``n·L + r`` = ``V[n] @ W_r``) -> relation-summed ``(num_nodes,
+        C)``.  Requires ``plan_projected=True`` at construction (the
+        tile part reuses its per-relation tables; the ELL residual uses
+        its projected plan).  See ell_aggregate_projected for why: the
+        gathers — and here also the tile matmuls — run at the OUTPUT
+        width."""
+        tbl = tables if tables is not None else self.tables
+        if tbl.proj is None:
+            raise ValueError(
+                "tile kernel planned without plan_projected=True"
+            )
+        seed = jnp.asarray(seed)
+        if self.tiles_total == 0:
+            return self._ell.neighbor_aggregate_projected(
+                Vr, seed, rate, tables=tbl.ell
+            )
+        cfg = (self.tile_size, self.nb, self.L, self.num_nodes)
+        out = tile_aggregate_projected(
+            (tbl.fwd, tbl.bwd), Vr, seed, cfg, float(rate)
+        )
+        if self._ell is not None:
+            out = out + self._ell.neighbor_aggregate_projected(
+                Vr, seed, rate, tables=tbl.ell
             )
         return out
 
@@ -494,3 +535,67 @@ def _tile_vjp_bwd(cfg, rate, residuals, g):
 
 
 tile_aggregate.defvjp(_tile_vjp_fwd, _tile_vjp_bwd)
+
+
+def _tile_proj_fwd_only(plans, Vr, seed, cfg, rate):
+    """Projected tile forward: ``Vr (N·L, C)`` relation-minor projected
+    features -> relation-SUMMED ``(N, C)``.  Reuses the standard
+    per-relation tables — only the per-relation concat becomes an
+    accumulate — and the DropEdge PRF sees identical coordinates, so
+    masks match the standard tile path exactly."""
+    fwd_plans, _ = plans
+    B, nb, L, N = cfg
+    pad_rows = nb * B - N
+    C = Vr.shape[-1]
+    Vr3 = Vr[: N * L].reshape(N, L, C)
+    out = jnp.zeros((nb, B, C), jnp.float32)
+    for r in range(L):
+        plan = fwd_plans[r]
+        if plan is None:
+            continue
+        Vblk = jnp.pad(Vr3[:, r], ((0, pad_rows), (0, 0))).reshape(nb, B, C)
+        out = out + _apply_tables(
+            plan, Vblk, B, seed, rate,
+            rel_seed_mix=_rel_seed_mix(r), transposed=False,
+        )
+    return out.reshape(nb * B, C)[:N].astype(Vr.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def tile_aggregate_projected(plans, Vr, seed, cfg, rate):
+    """PROJECT-FIRST tile aggregation (see grl_tpu.ops.ell.
+    ell_aggregate_projected for the algebra); differentiable w.r.t.
+    ``Vr`` only."""
+    return _tile_proj_fwd_only(plans, Vr, seed, cfg, rate)
+
+
+def _tile_proj_vjp_fwd(plans, Vr, seed, cfg, rate):
+    return _tile_proj_fwd_only(plans, Vr, seed, cfg, rate), (plans, Vr, seed)
+
+
+def _tile_proj_vjp_bwd(cfg, rate, residuals, g):
+    plans, Vr, seed = residuals
+    _, bwd_plans = plans
+    B, nb, L, N = cfg
+    pad_rows = nb * B - N
+    C = Vr.shape[-1]
+    gblk = jnp.pad(g[:N], ((0, pad_rows), (0, 0))).reshape(nb, B, C)
+    parts = []
+    for r in range(L):
+        plan = bwd_plans[r]
+        if plan is None:
+            parts.append(jnp.zeros((N, C), jnp.float32))
+            continue
+        d = _apply_tables(
+            plan, gblk, B, seed, rate,
+            rel_seed_mix=_rel_seed_mix(r), transposed=True,
+        )
+        parts.append(d.reshape(nb * B, C)[:N])
+    dVr = jnp.stack(parts, axis=1).reshape(N * L, C).astype(Vr.dtype)
+    if Vr.shape[0] > N * L:
+        dVr = jnp.pad(dVr, ((0, Vr.shape[0] - N * L), (0, 0)))
+    d_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return zero_cotangent(plans), dVr, d_seed
+
+
+tile_aggregate_projected.defvjp(_tile_proj_vjp_fwd, _tile_proj_vjp_bwd)

@@ -244,3 +244,71 @@ class TestTileProductWiring:
             assert proc.graph.kernel.tiles_total > 0
             acc = proc()
         assert acc > 0.6, f"tile-kernel training failed to learn: {acc}"
+
+
+class TestTileProjected:
+    """plan_projected tile kernel: sum_r A_r (V W_r) equals
+    aggregate-then-project exactly — including DropEdge masks (the
+    endpoint-pair PRF sees identical coordinates in both modes)."""
+
+    @pytest.mark.parametrize("rate,seed", [(0.0, 0), (0.3, 7)])
+    def test_matches_standard(self, rate, seed):
+        send, recv, rel, w, N, L = clustered_graph(seed=0, E=9000)
+        F, C = 24, 8
+        rng = np.random.RandomState(1)
+        V = rng.randn(N, F).astype(np.float32)
+        Wr = jnp.asarray(rng.randn(L, F, C).astype(np.float32))
+        kern = TileGraphKernel(
+            send, recv, rel, w, num_nodes=N, num_relations=L,
+            tile_size=64, tile_min_edges=40, reorder="lpa",
+            plan_projected=True,
+        )
+        assert kern.tiles_total > 0 and kern.tables.proj is not None
+        Vp = np.zeros_like(V)
+        Vp[kern.node_perm] = V
+        agg = np.asarray(
+            kern.neighbor_aggregate(jnp.asarray(Vp), seed=seed, rate=rate)
+        )
+        ref = sum(
+            agg[:, r * F:(r + 1) * F] @ np.asarray(Wr[r]) for r in range(L)
+        )
+        Vr = jnp.einsum("nf,lfc->nlc", jnp.asarray(Vp), Wr).reshape(N * L, C)
+        out = np.asarray(
+            kern.neighbor_aggregate_projected(Vr, seed=seed, rate=rate)
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match(self):
+        send, recv, rel, w, N, L = clustered_graph(seed=0, E=9000)
+        F, C = 16, 8
+        rng = np.random.RandomState(2)
+        Vp = rng.randn(N, F).astype(np.float32)
+        Wr = jnp.asarray(rng.randn(L, F, C).astype(np.float32))
+        kern = TileGraphKernel(
+            send, recv, rel, w, num_nodes=N, num_relations=L,
+            tile_size=64, tile_min_edges=40, reorder="none",
+            plan_projected=True,
+        )
+
+        def loss_std(v):
+            a = kern.neighbor_aggregate(v)
+            return sum(
+                (a[:, r * F:(r + 1) * F] @ Wr[r]).sum() for r in range(L)
+            )
+
+        def loss_proj(v):
+            vr = jnp.einsum("nf,lfc->nlc", v, Wr).reshape(N * L, C)
+            return kern.neighbor_aggregate_projected(vr).sum()
+
+        g1 = np.asarray(jax.grad(loss_std)(jnp.asarray(Vp)))
+        g2 = np.asarray(jax.grad(loss_proj)(jnp.asarray(Vp)))
+        np.testing.assert_allclose(g2, g1, rtol=1e-3, atol=1e-3)
+
+    def test_unplanned_raises(self):
+        send, recv, rel, w, N, L = clustered_graph(seed=0, E=4000)
+        kern = TileGraphKernel(
+            send, recv, rel, w, num_nodes=N, num_relations=L,
+            tile_size=64, tile_min_edges=40,
+        )
+        with pytest.raises(ValueError, match="plan_projected"):
+            kern.neighbor_aggregate_projected(jnp.zeros((N * L, 4)))
