@@ -702,7 +702,94 @@ def measure_sparse_structures() -> dict | None:
             f"{100 * kern.covered_edges / E:.0f}%)",
             file=sys.stderr,
         )
+        if name == "products_like":
+            # Tile kernel through the FULL trainer (kernel_impl=tile +
+            # plan_projected — the product config surface), so the
+            # driver artifact carries the product-level number, not
+            # just the raw-kernel sweep.
+            try:
+                r_trainer = retry(
+                    lambda: _tile_trainer_rate(sbm),
+                    label="products tile trainer",
+                )
+                out[name]["tile_trainer_edges_per_s"] = round(r_trainer, 1)
+                print(
+                    f"[bench] products-like FULL trainer with "
+                    f"kernel_impl=tile: {r_trainer / 1e6:.1f} M edges/s",
+                    file=sys.stderr,
+                )
+            except Exception as err:
+                print(
+                    f"[bench] products tile trainer failed: {err}",
+                    file=sys.stderr,
+                )
     return out
+
+
+def _tile_trainer_rate(data, dispatches: int = 2) -> float:
+    """FullGraphProcedure epoch rate with kernel_impl=tile (projected
+    residual) on the given graph — the tile hybrid as the PRODUCT runs
+    it."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from grl_tpu.config import ConfigDict
+    from grl_tpu.models import GraphCNNDropEdge
+    from grl_tpu.trainer.procedures.full_graph_procedure import (
+        FullGraphProcedure,
+    )
+
+    K = 10
+    with tempfile.TemporaryDirectory() as tmp:
+        config = ConfigDict(
+            {
+                "experiment_name": "bench_tile_trainer",
+                "seed": 0,
+                "output_dir": tmp,
+                "num_epochs": K * (dispatches + 1),
+                "scan_steps": K,
+                "max_grad_norm": 5.0,
+                "rng_impl": "rbg",
+                "kernel_plan": {
+                    "tile_size": 128,
+                    "tile_dtype": "bfloat16",
+                    "plan_projected": True,
+                },
+                "optimizer": {
+                    "type": "BuiltinOptimizer",
+                    "args": {"type_optimizer": "Adam", "lr": 1e-3},
+                },
+                "logging": {"use_tensorboard": False},
+            }
+        )
+        model = GraphCNNDropEdge(
+            input_dim=128, output_dim=40, num_edges=1, net_size=256,
+            use_attention=False, kernel_impl="tile",
+            compute_dtype="bfloat16",
+        )
+        proc = FullGraphProcedure(model, config, data)
+        proc._ensure_initialized()
+        E = int(np.asarray(proc.graph.mask).sum())
+        rng = jax.random.PRNGKey(0)
+        state = proc.state
+        rng, k = jax.random.split(rng)
+        state, loss = proc._train_fn(
+            state, proc.graph, proc.features, proc.train_labels, k
+        )
+        float(loss)
+        best = float("inf")
+        for _ in range(WINDOWS):
+            start = time.perf_counter()
+            for _ in range(dispatches):
+                rng, k = jax.random.split(rng)
+                state, loss = proc._train_fn(
+                    state, proc.graph, proc.features, proc.train_labels, k
+                )
+            float(loss)
+            best = min(best, time.perf_counter() - start)
+        return E * K * dispatches / best
 
 
 def arxiv_scale_data():

@@ -101,6 +101,15 @@ def render(bench: dict, date: str) -> str:
             "the clustered-graph ceiling (~0.29 B edges/s at 20% "
             "cross-community edges).\n"
         )
+        tt = (structures.get("products_like") or {}).get(
+            "tile_trainer_edges_per_s"
+        )
+        if tt:
+            lines.append(
+                f"\nThrough the FULL trainer (kernel_impl=tile + "
+                f"plan_projected, scan_steps=10) on the products-like "
+                f"graph: **{tt / 1e6:.1f} M edges/s** per epoch.\n"
+            )
     fg = bench.get("full_graph_edges_per_s")
     sp = bench.get("sampled_target_nodes_per_s")
     lines.append("\n#### Product procedures at arxiv scale (BASELINE configs 3-4)\n")
